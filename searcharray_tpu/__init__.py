@@ -1,0 +1,21 @@
+"""searcharray_tpu — a TPU-native lexical search engine.
+
+A from-scratch JAX/XLA/Pallas re-implementation of the capabilities of
+softwaredoug/searcharray: roaringish positional postings, Lucene-parity
+BM25/TF-IDF scoring, exact & slop phrase matching, Solr edismax query
+composition, and a pandas ExtensionArray facade — designed for
+single-chip and multi-chip (sharded) TPU execution.
+"""
+import jax as _jax
+
+# Posting words are uint64 (28-bit doc key | 18-bit block | 18-bit bitmap);
+# device kernels decompose to uint32 internally but storage and header
+# alignment use 64-bit integers.
+_jax.config.update("jax_enable_x64", True)
+
+from searcharray_tpu.pandas_ext.array import SearchArray, Terms, TermsDtype  # noqa: E402,F401
+from searcharray_tpu.utils.topk import SetOfResults  # noqa: E402,F401
+from searcharray_tpu.solr import edismax  # noqa: E402,F401
+
+__version__ = "0.1.0"
+__all__ = ["SearchArray", "Terms", "TermsDtype", "SetOfResults", "edismax"]

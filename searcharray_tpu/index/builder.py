@@ -1,0 +1,422 @@
+"""Index construction: tokenized docs -> CSR posting store + doc/term matrix.
+
+Pipeline (one batch):
+  tokenizer (pluggable Python callable, per reference README contract)
+    -> flat (term_id, doc_id, posn) columns            [pandas factorize, C speed]
+    -> stable sort by term id (doc/posn order kept)    [replaces indexing.py:102-115]
+    -> segmented bitwise-OR pack into posting words    [replaces roaringish.py:93-142]
+
+Batches are packed independently and repacked into one contiguous
+term-major buffer at the end (vectorised segment gather, no per-term loop) —
+this replaces the reference's ArrayDict.concat
+(`/root/reference/searcharray/phrase/memmap_arrays.py:55`).
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from searcharray_tpu.ops import encoding as enc
+from searcharray_tpu.index.vocab import Vocabulary
+
+
+def ws_tokenizer(string):
+    """Default whitespace tokenizer (parity: postings.py:206-211)."""
+    if pd.isna(string):
+        return []
+    if not isinstance(string, str):
+        raise ValueError("Expected a string")
+    return string.split()
+
+
+def _concat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Indices [s0..s0+l0) ++ [s1..s1+l1) ++ ... without a Python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    rep = np.repeat(starts - np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+    return np.arange(total, dtype=np.int64) + rep
+
+
+class TermPostings:
+    """CSR store: one contiguous uint64 posting buffer + per-term slices."""
+
+    def __init__(self, data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray):
+        self.data = data            # uint64[W]
+        self.offsets = offsets      # int64[V]
+        self.lengths = lengths      # int64[V]
+
+    @classmethod
+    def empty(cls) -> "TermPostings":
+        return cls(
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+
+    def term_slice(self, term_id: int) -> np.ndarray:
+        if term_id >= len(self.offsets):
+            return np.empty(0, dtype=np.uint64)
+        o, l = self.offsets[term_id], self.lengths[term_id]
+        return self.data[o : o + l]
+
+    def ensure_terms(self, num_terms: int) -> None:
+        if num_terms > len(self.offsets):
+            pad = num_terms - len(self.offsets)
+            self.offsets = np.concatenate(
+                [self.offsets, np.zeros(pad, dtype=np.int64)]
+            )
+            self.lengths = np.concatenate(
+                [self.lengths, np.zeros(pad, dtype=np.int64)]
+            )
+
+    @property
+    def num_terms(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def nbytes(self) -> int:
+        return self.data.nbytes + self.offsets.nbytes + self.lengths.nbytes
+
+    # Memmapped buffers pickle as just their path and re-open on load
+    # (parity: memmap_arrays.py:197-208).
+    def __getstate__(self):
+        state = {
+            "offsets": self.offsets,
+            "lengths": self.lengths,
+            "mmap_path": getattr(self, "mmap_path", None),
+        }
+        if state["mmap_path"] is None:
+            state["data"] = np.asarray(self.data)
+        return state
+
+    def __setstate__(self, state):
+        self.offsets = state["offsets"]
+        self.lengths = state["lengths"]
+        path = state.get("mmap_path")
+        if path is not None:
+            self.data = np.memmap(path, dtype=np.uint64, mode="r")
+            self.mmap_path = path
+        else:
+            self.data = state["data"]
+
+
+class DocTermMatrix:
+    """CSR binary matrix of which terms appear in which doc (row-major).
+
+    Functional analog of the reference's SparseMatSet
+    (`/root/reference/searcharray/utils/mat_set.py:43`).
+    """
+
+    def __init__(self, cols: np.ndarray, rows: np.ndarray):
+        self.cols = cols.astype(np.uint32, copy=False)   # term ids
+        self.rows = rows.astype(np.int64, copy=False)    # offsets, len N+1
+        assert self.rows[-1] == len(self.cols)
+
+    @classmethod
+    def empty(cls) -> "DocTermMatrix":
+        return cls(np.empty(0, dtype=np.uint32), np.zeros(1, dtype=np.int64))
+
+    def row_terms(self, row: int) -> np.ndarray:
+        return self.cols[self.rows[row] : self.rows[row + 1]]
+
+    def gather_rows(self, row_idx: np.ndarray) -> "DocTermMatrix":
+        row_idx = np.asarray(row_idx)
+        starts = self.rows[:-1][row_idx]
+        lens = (self.rows[1:] - self.rows[:-1])[row_idx]
+        cols = self.cols[_concat_ranges(starts, lens)]
+        rows = np.concatenate([[0], np.cumsum(lens)])
+        return DocTermMatrix(cols, rows)
+
+    def num_terms_per_row(self) -> np.ndarray:
+        return np.diff(self.rows)
+
+    def append(self, other: "DocTermMatrix") -> "DocTermMatrix":
+        return DocTermMatrix(
+            np.concatenate([self.cols, other.cols]),
+            np.concatenate([self.rows, self.rows[-1] + other.rows[1:]]),
+        )
+
+    def __len__(self) -> int:
+        return len(self.rows) - 1
+
+    @property
+    def nbytes(self) -> int:
+        return self.cols.nbytes + self.rows.nbytes
+
+
+@dataclass
+class _BatchResult:
+    term_ids: np.ndarray      # sorted unique term ids present, int64[T]
+    words: np.ndarray         # uint64, term-major
+    bounds: np.ndarray        # int64[T+1] into words
+    doc_lens: np.ndarray      # float32 per doc in batch
+    dt_cols: np.ndarray       # doc->term CSR cols
+    dt_rows: np.ndarray       # doc->term CSR rows
+
+
+def _tokenize_batch(
+    docs: List,
+    tokenizer: Callable,
+    vocab: Vocabulary,
+    start_doc: int,
+    truncate: bool,
+) -> _BatchResult:
+    token_lists = [tokenizer(d) for d in docs]
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+    if np.any(lens > enc.MAX_POSN):
+        if not truncate:
+            raise ValueError(f"Document length exceeds maximum of {enc.MAX_POSN}")
+        token_lists = [t[: enc.MAX_POSN] for t in token_lists]
+        lens = np.minimum(lens, enc.MAX_POSN)
+
+    flat: List = []
+    for t in token_lists:
+        flat.extend(t)
+    total = len(flat)
+    doc_lens = lens.astype(np.float32)
+
+    if total == 0:
+        return _BatchResult(
+            term_ids=np.empty(0, dtype=np.int64),
+            words=np.empty(0, dtype=np.uint64),
+            bounds=np.zeros(1, dtype=np.int64),
+            doc_lens=doc_lens,
+            dt_cols=np.empty(0, dtype=np.uint32),
+            dt_rows=np.zeros(len(docs) + 1, dtype=np.int64),
+        )
+
+    local_ids, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    # Vocabulary updates are guarded by the GIL on the unique terms only.
+    global_of_local = vocab.add_batch(uniques)
+    term_ids = global_of_local[local_ids]
+
+    doc_ids = np.repeat(
+        np.arange(start_doc, start_doc + len(docs), dtype=np.int64), lens
+    )
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    posns = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+    # Term-major inversion; doc/posn order within a term is preserved.
+    order = np.argsort(term_ids, kind="stable")
+    s_terms = term_ids[order]
+    s_docs = doc_ids[order]
+    s_posns = posns[order]
+
+    term_starts = np.concatenate(
+        [[0], np.flatnonzero(s_terms[1:] != s_terms[:-1]) + 1]
+    ).astype(np.int64)
+    words, bounds = enc.encode_flat(s_docs, s_posns, term_starts)
+    present_terms = s_terms[term_starts]
+
+    # doc -> unique terms CSR (doc-major).  Pairs are doc-major already in
+    # (doc_ids, term_ids); unique consecutive after sorting term within doc.
+    pair_order = np.lexsort((term_ids, doc_ids))
+    p_docs = doc_ids[pair_order] - start_doc
+    p_terms = term_ids[pair_order]
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = (p_docs[1:] != p_docs[:-1]) | (p_terms[1:] != p_terms[:-1])
+    u_docs = p_docs[keep]
+    u_terms = p_terms[keep].astype(np.uint32)
+    dt_rows = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.add.at(dt_rows, u_docs + 1, 1)
+    dt_rows = np.cumsum(dt_rows)
+
+    return _BatchResult(
+        term_ids=present_terms,
+        words=words,
+        bounds=bounds,
+        doc_lens=doc_lens,
+        dt_cols=u_terms,
+        dt_rows=dt_rows,
+    )
+
+
+def _repack(batches: List[_BatchResult], num_terms: int) -> TermPostings:
+    """Merge per-batch term-major buffers into one term-major CSR store."""
+    if not batches:
+        return TermPostings.empty()
+    all_words = np.concatenate([b.words for b in batches])
+    seg_terms: List[np.ndarray] = []
+    seg_starts: List[np.ndarray] = []
+    seg_lens: List[np.ndarray] = []
+    base = 0
+    for b in batches:
+        seg_terms.append(b.term_ids)
+        seg_starts.append(b.bounds[:-1] + base)
+        seg_lens.append(np.diff(b.bounds))
+        base += len(b.words)
+    terms = np.concatenate(seg_terms)
+    starts = np.concatenate(seg_starts)
+    lens = np.concatenate(seg_lens)
+
+    # Order segments by (term, batch) — batch order is doc order, so each
+    # term's words stay sorted by doc key.
+    batch_ord = np.repeat(
+        np.arange(len(batches)), [len(b.term_ids) for b in batches]
+    )
+    seg_order = np.lexsort((batch_ord, terms))
+    gather = _concat_ranges(starts[seg_order], lens[seg_order])
+    data = all_words[gather]
+
+    offsets = np.zeros(num_terms, dtype=np.int64)
+    lengths = np.zeros(num_terms, dtype=np.int64)
+    o_terms = terms[seg_order]
+    o_lens = lens[seg_order]
+    np.add.at(lengths, o_terms, o_lens)
+    offsets[1:] = np.cumsum(lengths)[:-1]
+    return TermPostings(data, offsets, lengths)
+
+
+@dataclass
+class BuiltIndex:
+    postings: TermPostings
+    doc_term: DocTermMatrix
+    vocab: Vocabulary
+    doc_lens: np.ndarray          # float32[N]
+    avg_doc_length: float
+
+    @property
+    def corpus_size(self) -> int:
+        return len(self.doc_lens)
+
+
+def _batched(iterable: Iterable, batch_size: int):
+    from itertools import islice
+
+    it = iter(iterable)
+    start = 0
+    while True:
+        batch = list(islice(it, batch_size))
+        if not batch:
+            return
+        yield start, batch
+        start += len(batch)
+
+
+def build_index(
+    array: Iterable,
+    tokenizer: Callable = ws_tokenizer,
+    truncate: bool = False,
+    batch_size: int = 100_000,
+    workers: int = 4,
+) -> BuiltIndex:
+    """Tokenize and index a corpus of strings.
+
+    Thread workers overlap Python tokenisation (GIL released inside numpy /
+    factorize) like the reference's pool (`indexing.py:253-280`).
+    """
+    vocab = Vocabulary()
+    results: List[_BatchResult] = []
+
+    if workers and workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [
+                pool.submit(_tokenize_batch, batch, tokenizer, vocab, start, truncate)
+                for start, batch in _batched(array, batch_size)
+            ]
+            results = [f.result() for f in futures]
+    else:
+        results = [
+            _tokenize_batch(batch, tokenizer, vocab, start, truncate)
+            for start, batch in _batched(array, batch_size)
+        ]
+
+    if not results:
+        return BuiltIndex(
+            postings=TermPostings.empty(),
+            doc_term=DocTermMatrix.empty(),
+            vocab=vocab,
+            doc_lens=np.empty(0, dtype=np.float32),
+            avg_doc_length=0.0,
+        )
+
+    postings = _repack(results, len(vocab))
+    doc_lens = np.concatenate([b.doc_lens for b in results])
+    dt_cols = np.concatenate([b.dt_cols for b in results])
+    row_parts = [np.zeros(1, dtype=np.int64)]
+    base = 0
+    for b in results:
+        row_parts.append(b.dt_rows[1:] + base)
+        base += b.dt_rows[-1]
+    dt_rows = np.concatenate(row_parts)
+    doc_term = DocTermMatrix(dt_cols, dt_rows)
+
+    avg_dl = float(np.mean(doc_lens)) if len(doc_lens) else 0.0
+    return BuiltIndex(
+        postings=postings,
+        doc_term=doc_term,
+        vocab=vocab,
+        doc_lens=doc_lens,
+        avg_doc_length=avg_dl,
+    )
+
+
+def build_index_from_terms(rows: Iterable, terms_cls) -> BuiltIndex:
+    """Build from already-tokenised Terms/dict rows (parity: indexing.py:298)."""
+    vocab = Vocabulary()
+    dt_cols: List[int] = []
+    dt_rows = [0]
+    doc_lens: List[float] = []
+    tri_terms: List[np.ndarray] = []
+    tri_docs: List[np.ndarray] = []
+    tri_posns: List[np.ndarray] = []
+
+    for doc_id, row in enumerate(rows):
+        if isinstance(row, dict):
+            row = terms_cls(row, doc_len=len(row))
+        elif not isinstance(row, terms_cls):
+            raise TypeError("Expected a Terms or a dict")
+        doc_lens.append(row.doc_len)
+        for token, _tf in row.terms():
+            tid = vocab.add_term(token)
+            dt_cols.append(tid)
+            posns = row.positions(token) if row.posns is not None else None
+            if posns is not None and len(posns) > 0:
+                p = np.asarray(posns, dtype=np.int64)
+                tri_terms.append(np.full(len(p), tid, dtype=np.int64))
+                tri_docs.append(np.full(len(p), doc_id, dtype=np.int64))
+                tri_posns.append(p)
+        dt_rows.append(len(dt_cols))
+
+    num_docs = len(doc_lens)
+    if tri_terms:
+        t = np.concatenate(tri_terms)
+        d = np.concatenate(tri_docs)
+        p = np.concatenate(tri_posns)
+        order = np.lexsort((p, d, t))
+        t, d, p = t[order], d[order], p[order]
+        term_starts = np.concatenate(
+            [[0], np.flatnonzero(t[1:] != t[:-1]) + 1]
+        ).astype(np.int64)
+        words, bounds = enc.encode_flat(d, p, term_starts)
+        present = t[term_starts]
+        offsets = np.zeros(len(vocab), dtype=np.int64)
+        lengths = np.zeros(len(vocab), dtype=np.int64)
+        lengths[present] = np.diff(bounds)
+        # words already grouped by term in term-id order
+        offsets[present] = bounds[:-1]
+        postings = TermPostings(words, offsets, lengths)
+    else:
+        postings = TermPostings(
+            np.empty(0, dtype=np.uint64),
+            np.zeros(len(vocab), dtype=np.int64),
+            np.zeros(len(vocab), dtype=np.int64),
+        )
+
+    doc_lens_arr = np.asarray(doc_lens, dtype=np.float32)
+    avg_dl = float(np.mean(doc_lens_arr)) if num_docs else 0.0
+    return BuiltIndex(
+        postings=postings,
+        doc_term=DocTermMatrix(
+            np.asarray(dt_cols, dtype=np.uint32),
+            np.asarray(dt_rows, dtype=np.int64),
+        ),
+        vocab=vocab,
+        doc_lens=doc_lens_arr,
+        avg_doc_length=avg_dl,
+    )

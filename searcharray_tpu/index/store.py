@@ -1,0 +1,109 @@
+"""Index persistence: memmap tier + versioned save/load.
+
+Parity goals (reference `phrase/memmap_arrays.py:145-208`): an index can
+spill its posting buffer to one contiguous on-disk file and re-open it on
+unpickle, so a pickled dataframe with search columns stays small.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from searcharray_tpu.index.builder import BuiltIndex, DocTermMatrix, TermPostings
+
+FORMAT_VERSION = 1
+
+
+def _next_filename(data_dir: str, suffix: str) -> str:
+    os.makedirs(data_dir, exist_ok=True)
+    return os.path.join(data_dir, f"{len(os.listdir(data_dir))}{suffix}")
+
+
+def memmap_postings(postings: TermPostings, data_dir: str) -> None:
+    """Spill the posting buffer to disk and re-open it memory-mapped."""
+    filename = _next_filename(data_dir, ".dat")
+    postings.data.tofile(filename)
+    postings.data = np.memmap(filename, dtype=np.uint64, mode="r")
+    postings.mmap_path = filename
+
+
+def postings_getstate(postings: TermPostings) -> dict:
+    state = {
+        "offsets": postings.offsets,
+        "lengths": postings.lengths,
+        "mmap_path": getattr(postings, "mmap_path", None),
+    }
+    if state["mmap_path"] is None:
+        state["data"] = postings.data
+    return state
+
+
+def postings_setstate(postings: TermPostings, state: dict) -> None:
+    postings.offsets = state["offsets"]
+    postings.lengths = state["lengths"]
+    path = state.get("mmap_path")
+    if path is not None:
+        postings.data = np.memmap(path, dtype=np.uint64, mode="r")
+        postings.mmap_path = path
+    else:
+        postings.data = state["data"]
+
+
+def save_index(built: BuiltIndex, directory: str) -> None:
+    """Write a versioned on-disk index (postings, CSR metadata, vocab)."""
+    os.makedirs(directory, exist_ok=True)
+    np.asarray(built.postings.data).tofile(os.path.join(directory, "postings.dat"))
+    np.savez(
+        os.path.join(directory, "meta.npz"),
+        offsets=built.postings.offsets,
+        lengths=built.postings.lengths,
+        dt_cols=built.doc_term.cols,
+        dt_rows=built.doc_term.rows,
+        doc_lens=built.doc_lens,
+    )
+    with open(os.path.join(directory, "index.json"), "w") as f:
+        json.dump(
+            {
+                "format_version": FORMAT_VERSION,
+                "avg_doc_length": built.avg_doc_length,
+                "num_docs": int(built.corpus_size),
+                "num_terms": len(built.vocab),
+            },
+            f,
+        )
+    with open(os.path.join(directory, "vocab.txt"), "w", encoding="utf-8") as f:
+        for i in range(len(built.vocab)):
+            f.write(json.dumps(built.vocab.get_term(i)) + "\n")
+
+
+def load_index(directory: str, mmap: bool = True) -> BuiltIndex:
+    from searcharray_tpu.index.vocab import Vocabulary
+
+    with open(os.path.join(directory, "index.json")) as f:
+        meta = json.load(f)
+    if meta["format_version"] != FORMAT_VERSION:
+        raise ValueError(f"Unsupported index format {meta['format_version']}")
+    m = np.load(os.path.join(directory, "meta.npz"))
+    dat = os.path.join(directory, "postings.dat")
+    data = (
+        np.memmap(dat, dtype=np.uint64, mode="r")
+        if mmap
+        else np.fromfile(dat, dtype=np.uint64)
+    )
+    postings = TermPostings(data, m["offsets"], m["lengths"])
+    if mmap:
+        postings.mmap_path = dat
+    vocab = Vocabulary()
+    with open(os.path.join(directory, "vocab.txt"), encoding="utf-8") as f:
+        for line in f:
+            vocab.add_term(json.loads(line))
+    return BuiltIndex(
+        postings=postings,
+        doc_term=DocTermMatrix(m["dt_cols"], m["dt_rows"]),
+        vocab=vocab,
+        doc_lens=m["doc_lens"],
+        avg_doc_length=meta["avg_doc_length"],
+    )

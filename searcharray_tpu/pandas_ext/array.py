@@ -1,0 +1,555 @@
+"""Pandas ExtensionArray facade over the TPU index.
+
+API parity with the reference's `searcharray/postings.py` (`Terms`,
+`TermsDtype`, `SearchArray`): same constructors, indexing semantics,
+search methods (`termfreqs/docfreq/doclengths/score/positions`) and
+extension-dtype registration — but backed by the device index; search
+methods run fused XLA kernels over the whole corpus and only gather the
+view's rows at the end.
+"""
+from __future__ import annotations
+
+import json
+import numbers
+import warnings
+from collections import Counter
+from typing import Iterable, List, Optional, Union
+
+import numpy as np
+import pandas as pd
+from pandas.api.extensions import (
+    ExtensionArray,
+    ExtensionDtype,
+    register_extension_dtype,
+    take as pd_take,
+)
+from pandas.api.types import is_list_like
+
+from searcharray_tpu.index.builder import (
+    BuiltIndex,
+    build_index,
+    build_index_from_terms,
+    ws_tokenizer,
+)
+from searcharray_tpu.index.device import DeviceIndex
+from searcharray_tpu.index.vocab import TermMissingError
+from searcharray_tpu.ops import encoding as enc
+from searcharray_tpu.search import scoring, phrase as phrase_mod, spans as spans_mod
+from searcharray_tpu.search.similarity import Similarity, default_bm25
+
+
+def _bytes_h(num_bytes):
+    suffixes = ["B", "KB", "MB", "GB", "TB", "PB"]
+    i = 0
+    num = float(num_bytes)
+    while num >= 1024 and i < len(suffixes) - 1:
+        num /= 1024.0
+        i += 1
+    return f"{num:.2f} {suffixes[i]}"
+
+
+class Terms:
+    """One indexed doc: a bag of term -> tf plus optional positions."""
+
+    def __init__(self, postings, doc_len: int = 0, posns: Optional[dict] = None,
+                 encoded=False):
+        self.postings = postings
+        self.doc_len = doc_len
+        self.posns = posns
+        self.encoded = encoded
+
+    def termfreq(self, token):
+        return self.postings[token]
+
+    def terms(self):
+        return self.postings.items()
+
+    def positions(self, term=None):
+        if self.posns is None:
+            return {}
+        if term is None:
+            return self.posns.items()
+        return self.posns[term]
+
+    def raw_positions(self, vocab, term=None):
+        if self.posns is None:
+            return {}
+        if term is None:
+            return [(vocab.get_term_id(t), p) for t, p in self.posns.items()]
+        return [(vocab.get_term_id(term), self.posns[term])]
+
+    def tf_to_dense(self, vocab):
+        dense = np.zeros(len(vocab))
+        for term, freq in self.terms():
+            dense[vocab.get_term_id(term)] = freq
+        return dense
+
+    def __len__(self):
+        return len(self.postings)
+
+    def __repr__(self):
+        return f"Terms({set(self.postings.keys())})"
+
+    def __str__(self):
+        return repr(self)
+
+    def __eq__(self, other):
+        if isinstance(other, SearchArray):
+            return other == self
+        same = isinstance(other, Terms) and self.postings == other.postings
+        if same and self.doc_len == other.doc_len:
+            return True
+
+    def __lt__(self, other):
+        keys_both = sorted(set(self.postings.keys()) | set(other.postings.keys()))
+        for key in keys_both:
+            lhs_val = self.postings.get(key, 0)
+            rhs_val = other.postings.get(key, 0)
+            if lhs_val < rhs_val:
+                return True
+            elif lhs_val > rhs_val:
+                return False
+        return False
+
+    def __le__(self, other):
+        return self < other or self == other
+
+    def __gt__(self, other):
+        return not (self < other) and self != other
+
+    def __hash__(self):
+        return hash(json.dumps(self.postings, sort_keys=True))
+
+
+class TermsDtype(ExtensionDtype):
+    """Pandas dtype for tokenized, searchable text."""
+
+    name = "tokenized_text"
+    type = Terms
+    kind = "O"
+
+    @classmethod
+    def construct_from_string(cls, string):
+        if not isinstance(string, str):
+            raise TypeError(
+                "'construct_from_string' expects a string, got {}".format(type(string))
+            )
+        elif string == cls.name:
+            return cls()
+        raise TypeError(
+            "Cannot construct a '{}' from '{}'".format(cls.__name__, string)
+        )
+
+    @classmethod
+    def construct_array_type(cls):
+        return SearchArray
+
+    def __repr__(self):
+        return "TermsDtype()"
+
+    @property
+    def na_value(self):
+        return Terms({})
+
+    def valid_value(self, value):
+        return isinstance(value, dict) or pd.isna(value) or isinstance(value, Terms)
+
+
+register_extension_dtype(TermsDtype)
+
+
+class SearchArray(ExtensionArray):
+    """An array of tokenized text, indexed for search on TPU.
+
+    Build with :meth:`index`; normal pandas slicing yields zero-copy row
+    views over the shared device index.
+    """
+
+    dtype = TermsDtype()
+
+    def __init__(self, postings, tokenizer=ws_tokenizer, avoid_copies=True):
+        if not is_list_like(postings):
+            raise TypeError("Expected list-like object, got {}".format(type(postings)))
+        self.tokenizer = tokenizer
+        self.avoid_copies = avoid_copies
+        built = build_index_from_terms(postings, Terms)
+        self._attach(built)
+
+    # ------------------------------------------------------------------
+    # construction / wiring
+    # ------------------------------------------------------------------
+    def _attach(self, built: BuiltIndex, rows: Optional[np.ndarray] = None,
+                subset: bool = False, dev: Optional[DeviceIndex] = None):
+        self._built = built
+        self._dev = dev
+        self.rows = (
+            np.arange(built.corpus_size, dtype=np.int64) if rows is None else rows
+        )
+        self.subset = subset
+        self.doc_lens = built.doc_lens[self.rows]
+        self.avg_doc_length = built.avg_doc_length
+        self.corpus_size = built.corpus_size
+
+    @property
+    def dev(self) -> DeviceIndex:
+        if self._dev is None:
+            self._dev = DeviceIndex(self._built)
+        return self._dev
+
+    @property
+    def term_dict(self):
+        return self._built.vocab
+
+    @classmethod
+    def index(cls, array: Iterable, tokenizer=ws_tokenizer, truncate=False,
+              batch_size=100_000, avoid_copies=True, workers=4,
+              cache_gt_than=25, data_dir: Optional[str] = None,
+              autowarm=True) -> "SearchArray":
+        """Tokenize and index an iterable of strings."""
+        if not is_list_like(array):
+            raise TypeError("Expected list-like object, got {}".format(type(array)))
+        built = build_index(array, tokenizer, truncate=truncate,
+                            batch_size=batch_size, workers=workers)
+        if data_dir is not None:
+            from searcharray_tpu.index.store import memmap_postings
+
+            memmap_postings(built.postings, data_dir)
+        arr = cls([], tokenizer=tokenizer, avoid_copies=avoid_copies)
+        arr._attach(built)
+        if autowarm:
+            arr.warm()
+        return arr
+
+    def warm(self):
+        """Prime docfreq cache for common terms (reference warm threshold 255)."""
+        lengths = self._built.postings.lengths
+        for tid in np.flatnonzero(lengths > 255):
+            scoring.docfreq(self.dev, int(tid))
+
+    @classmethod
+    def _from_sequence(cls, scalars, *, dtype=None, copy=False):
+        if dtype is not None and not isinstance(dtype, TermsDtype):
+            return scalars
+        if isinstance(scalars, np.ndarray) and scalars.dtype == TermsDtype():
+            return cls(scalars)
+        elif isinstance(scalars, np.ndarray) and scalars.dtype.kind in "US":
+            return cls(scalars)
+        elif isinstance(scalars, np.ndarray) and scalars.dtype != object:
+            return scalars
+        return cls(scalars)
+
+    # ------------------------------------------------------------------
+    # pandas protocol
+    # ------------------------------------------------------------------
+    def memory_usage(self, deep=False):
+        return self.nbytes
+
+    @property
+    def nbytes(self):
+        b = self._built
+        return (
+            b.postings.nbytes
+            + b.doc_term.nbytes
+            + b.doc_lens.nbytes
+            + b.vocab.nbytes
+        )
+
+    def _row_to_terms(self, corpus_row: int) -> Terms:
+        b = self._built
+        tids = b.doc_term.row_terms(corpus_row)
+        tfs = {}
+        posns = {}
+        for tid in tids:
+            term = b.vocab.get_term(int(tid))
+            tfs[term] = 1
+            sl = b.postings.term_slice(int(tid))
+            keys = enc.keys_of(sl)
+            mine = sl[keys == np.uint64(corpus_row)]
+            _, p = enc.decode_words(mine)
+            posns[term] = p.astype(np.uint32)
+        return Terms(tfs, doc_len=int(b.doc_lens[corpus_row]), posns=posns,
+                     encoded=False)
+
+    def __getitem__(self, key):
+        key = pd.api.indexers.check_array_indexer(self, key)
+        if isinstance(key, numbers.Integral):
+            row = int(key)
+            if row < 0:
+                row += len(self)
+            if row < 0 or row >= len(self):
+                raise IndexError("index out of bounds")
+            return self._row_to_terms(int(self.rows[row]))
+        new = SearchArray([], tokenizer=self.tokenizer,
+                          avoid_copies=self.avoid_copies)
+        new._attach(self._built, rows=self.rows[key], subset=True, dev=self._dev)
+        return new
+
+    def __setitem__(self, key, value):
+        key = pd.api.indexers.check_array_indexer(self, key)
+        if isinstance(value, pd.Series):
+            value = value.values
+        if isinstance(value, pd.DataFrame):
+            value = value.values.flatten()
+        if isinstance(value, SearchArray):
+            value = value.to_numpy()
+        if isinstance(value, list):
+            value = np.asarray(value, dtype=object)
+        if not isinstance(value, np.ndarray) and not self.dtype.valid_value(value):
+            raise ValueError(
+                f"Cannot set non-object array to SearchArray -- "
+                f"you passed type:{type(value)} -- {value}"
+            )
+        if isinstance(key, numbers.Integral) and isinstance(value, np.ndarray):
+            raise ValueError("Cannot set a single value to an array")
+
+        # Rebuild-on-write: materialise the backing corpus as Terms rows,
+        # apply the assignment, rebuild the index (the reference warns this
+        # path is slow too, postings.py:409-414).
+        all_rows = np.array(
+            [self._row_to_terms(i) for i in range(self._built.corpus_size)],
+            dtype=object,
+        )
+        targets = self.rows[key]
+        if isinstance(targets, numbers.Integral) or np.isscalar(targets):
+            targets = np.asarray([targets])
+            if not isinstance(value, np.ndarray):
+                value = np.asarray([value], dtype=object)
+        elif not isinstance(value, np.ndarray):
+            value = np.asarray([value] * len(targets), dtype=object)
+        if pd.isna(value).any() if isinstance(value, np.ndarray) else False:
+            value = np.asarray(
+                [Terms({}) if pd.isna(v) else v for v in value], dtype=object
+            )
+        for t, v in zip(targets, value):
+            if isinstance(v, dict):
+                v = Terms(v, doc_len=len(v))
+            all_rows[int(t)] = v
+        built = build_index_from_terms(all_rows, Terms)
+        rows, subset = self.rows, self.subset
+        self._attach(built, rows=rows, subset=subset)
+
+    def value_counts(self, dropna: bool = True):
+        counts = Counter(self[:])
+        if dropna:
+            counts.pop(Terms({}), None)
+        return pd.Series(counts)
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __ne__(self, other):
+        if isinstance(other, (pd.DataFrame, pd.Series, pd.Index)):
+            return NotImplemented
+        return ~(self == other)
+
+    def __eq__(self, other):
+        if isinstance(other, (pd.DataFrame, pd.Series, pd.Index)):
+            return NotImplemented
+
+        if isinstance(other, SearchArray):
+            if len(self) != len(other):
+                return False
+            elif len(other) == 0:
+                return np.array([], dtype=bool)
+            if not self.term_dict.compatible(other.term_dict):
+                return np.zeros(len(self), dtype=bool)
+            eq = np.zeros(len(self), dtype=bool)
+            for i in range(len(self)):
+                a = np.sort(self._built.doc_term.row_terms(int(self.rows[i])))
+                b = np.sort(other._built.doc_term.row_terms(int(other.rows[i])))
+                eq[i] = len(a) == len(b) and bool(np.all(a == b))
+            eq &= np.asarray(self.doc_lens == other.doc_lens)
+            return eq
+
+        elif isinstance(other, Terms):
+            other = SearchArray([other], tokenizer=self.tokenizer)
+            warnings.warn("Comparing a scalar value to a SearchArray. This is slow.")
+            return np.array(self[:]) == np.array(other[:])
+
+        elif is_list_like(other):
+            if len(self) != len(other):
+                return False
+            elif len(other) == 0:
+                return np.array([], dtype=bool)
+            other = SearchArray(other, tokenizer=self.tokenizer)
+            return np.array(self[:]) == np.array(other[:])
+        else:
+            return np.full(len(self), False)
+
+    def isna(self):
+        return np.asarray(self.doc_lens == 0)
+
+    def unique(self):
+        return self[:]
+
+    def __iter__(self):
+        if len(self) > 10000:
+            warnings.warn(
+                "Iterating over SearchArray is very slow and not recommended."
+            )
+        return super().__iter__()
+
+    def take(self, indices, allow_fill=False, fill_value=None):
+        row_indices = np.arange(len(self.rows))
+        result_indices = pd_take(
+            row_indices, indices, allow_fill=allow_fill, fill_value=-1
+        )
+        if allow_fill and -1 in result_indices:
+            if fill_value is None or pd.isna(fill_value):
+                fill_value = Terms({}, encoded=True)
+            to_fill_mask = result_indices == -1
+            taken = SearchArray([fill_value] * len(result_indices))
+            taken[~to_fill_mask] = self[result_indices[~to_fill_mask]].copy()
+            return taken
+        return self[result_indices].copy()
+
+    def copy(self):
+        new = SearchArray([], tokenizer=self.tokenizer,
+                          avoid_copies=self.avoid_copies)
+        if self.avoid_copies:
+            new._attach(self._built, rows=self.rows.copy(), subset=self.subset,
+                        dev=self._dev)
+        else:
+            import copy as _copy
+
+            new._attach(_copy.deepcopy(self._built), rows=self.rows.copy(),
+                        subset=self.subset)
+        return new
+
+    @classmethod
+    def _concat_same_type(cls, to_concat):
+        data = np.concatenate([ea[:] for ea in to_concat])
+        return SearchArray(data, tokenizer=to_concat[0].tokenizer)
+
+    @classmethod
+    def _from_factorized(cls, values, original):
+        return cls(values)
+
+    def _values_for_factorize(self):
+        arr = np.asarray(self[:], dtype=object)
+        return arr, Terms({})
+
+    def __array__(self, dtype=None, copy=None):
+        return np.asarray([self._row_to_terms(int(r)) for r in self.rows],
+                          dtype=object)
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_dev"] = None  # device buffers re-upload lazily on load
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+    def _check_token_arg(self, token):
+        if isinstance(token, str):
+            return token
+        elif isinstance(token, list) and len(token) == 1:
+            return token[0]
+        elif isinstance(token, list):
+            return token
+        raise TypeError("Expected a string or list of strings for phrases")
+
+    def memory_report(self, N=1000):
+        b = self._built
+        N = min(N, len(b.vocab))
+        sizes = sorted(
+            ((b.vocab.get_term(i), int(b.postings.lengths[i]) * 8)
+             for i in range(N)),
+            key=lambda x: x[1], reverse=True,
+        )
+        report = (
+            "\n        SearchArray Memory Report\n"
+            "        -------------------------\n"
+            f"        Number of Terms: {len(b.vocab)}\n"
+            "        -------------------------\n"
+            f"        Doc/Term Matrix: {_bytes_h(b.doc_term.nbytes)}\n"
+            f"        Positions:       {_bytes_h(b.postings.nbytes)}\n"
+            f"        Term Dictionary: {_bytes_h(b.vocab.nbytes)}\n\n"
+        )
+        cum = 0
+        for i, (term, nb) in enumerate(sizes):
+            cum += nb
+            report += (
+                f"        Term {i}: {term} - {_bytes_h(nb)} - "
+                f"Cumulative: {_bytes_h(cum)}\n"
+            )
+        return report
+
+    # ------------------------------------------------------------------
+    # search API
+    # ------------------------------------------------------------------
+    def _gather_rows(self, dense_np: np.ndarray) -> np.ndarray:
+        if not self.subset and len(self.rows) == self.corpus_size:
+            return dense_np
+        return dense_np[self.rows]
+
+    def termfreqs(self, token: Union[List[str], str], slop: int = 0,
+                  min_posn: Optional[int] = None,
+                  max_posn: Optional[int] = None) -> np.ndarray:
+        token = self._check_token_arg(token)
+        if isinstance(token, list):
+            return self._phrase_freq(token, slop=slop, min_posn=min_posn,
+                                     max_posn=max_posn)
+        try:
+            tid = self.term_dict.get_term_id(token)
+        except TermMissingError:
+            return np.zeros(len(self), dtype=np.float32)
+        tfs = scoring.termfreqs_dense(self.dev, tid, min_posn, max_posn)
+        return self._gather_rows(np.asarray(tfs, dtype=np.float32))
+
+    def docfreq(self, token: str) -> int:
+        if not isinstance(token, str):
+            raise TypeError("Expected a string")
+        try:
+            return scoring.docfreq(self.dev, self.term_dict.get_term_id(token))
+        except TermMissingError:
+            return 0
+
+    def doclengths(self) -> np.ndarray:
+        return self.doc_lens
+
+    def score(self, token: Union[str, List[str]],
+              similarity: Similarity = default_bm25, slop: int = 0,
+              min_posn: Optional[int] = None,
+              max_posn: Optional[int] = None) -> np.ndarray:
+        token = self._check_token_arg(token)
+        tokens_l = [token] if isinstance(token, str) else token
+        all_dfs = np.asarray([self.docfreq(t) for t in tokens_l])
+        tfs = self.termfreqs(token, min_posn=min_posn, max_posn=max_posn,
+                             slop=slop)
+        doc_lens = self.doclengths()
+        scores = similarity(tfs, all_dfs, doc_lens, self.avg_doc_length,
+                            self.corpus_size)
+        return np.asarray(scores, dtype=np.float32)
+
+    def positions(self, token: str, key=None) -> List[np.ndarray]:
+        tid = self.term_dict.get_term_id(token)
+        wanted = self.rows[key] if key is not None else self.rows
+        if isinstance(wanted, numbers.Integral):
+            wanted = np.asarray([wanted])
+        sl = self._built.postings.term_slice(tid)
+        keys = enc.keys_of(sl).astype(np.int64)
+        mask = np.isin(keys, wanted)
+        dkeys, posns = enc.decode_words(sl[mask])
+        by_doc: dict = {}
+        if len(dkeys):
+            cuts = np.concatenate([[0], np.flatnonzero(dkeys[1:] != dkeys[:-1]) + 1])
+            split = np.split(posns.astype(np.uint32), cuts[1:])
+            by_doc = dict(zip(dkeys[cuts].astype(np.int64), split))
+        return [by_doc.get(int(d), np.array([], dtype=np.uint32)) for d in wanted]
+
+    def _phrase_freq(self, tokens: List[str], slop=0,
+                     min_posn: Optional[int] = None,
+                     max_posn: Optional[int] = None) -> np.ndarray:
+        try:
+            term_ids = [self.term_dict.get_term_id(t) for t in tokens]
+        except TermMissingError:
+            return np.zeros(len(self), dtype=np.float32)
+        if slop == 0:
+            dense = phrase_mod.phrase_freqs_dense(self.dev, term_ids,
+                                                  min_posn, max_posn)
+        else:
+            dense = spans_mod.span_freqs_dense(self.dev, term_ids, slop,
+                                               min_posn, max_posn)
+        return self._gather_rows(np.asarray(dense, dtype=np.float32))

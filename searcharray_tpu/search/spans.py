@@ -1,0 +1,170 @@
+"""Slop-N phrase matching as a windowed bitmap kernel.
+
+The reference implements slop search as a sequential 512-slot span automaton
+(`/root/reference/searcharray/roaringish/spans.pyx:189-330`) — inherently
+serial, per-doc control flow.  The TPU formulation is a fixed-shape sliding
+window test:
+
+  A doc position ``p`` of the *rarest* query term is **covered** if some
+  window ``[s, s+w]`` with ``s <= p <= s+w`` and ``w = n + slop - 1``
+  contains at least ``m_t`` occurrences of every distinct query term ``t``
+  (``m_t`` = multiplicity of ``t`` in the query, ``n`` = query length).
+  The doc's slop frequency is its number of covered anchor positions.
+
+This matches the automaton's span-width bound (span width < n + slop,
+`spans.pyx:131,216`) and preserves the metamorphic invariants the reference
+tests assert (`test_phrase_matches.py:206-221`): slop counts are >= exact
+phrase counts (each exact occurrence covers a distinct anchor position) and
+are monotone non-decreasing in slop (the window set only grows).  On
+repeated-term queries it is slightly stricter than the automaton (which
+accepts any ``n`` distinct positions, `spans.pyx:125-128`) — i.e. fewer
+false positives.
+
+Per anchor word, each term's neighbourhood (blocks b-C .. b+C) is gathered
+by header alignment, expanded to a bit raster, and window counts come from
+prefix sums — all static shapes, all vector ops.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+
+from searcharray_tpu.index.device import DeviceIndex
+from searcharray_tpu.ops.encoding import KEY_SHIFT, LSB_BITS, LSB_MASK, PAD_WORD
+from searcharray_tpu.search.phrase import _get_slice
+from searcharray_tpu.search.scoring import _window_blocks
+
+_BLK_FIELD = (1 << 18) - 1  # block bits within the 46-bit header
+
+
+def _span_impl(anchor_words, *term_words, mults, w, C, num_docs):
+    import jax.numpy as jnp
+
+    T = len(term_words)
+    A = anchor_words.shape[0]
+    lanes_n = 2 * C + 1
+    B = lanes_n * LSB_BITS
+
+    pad = jnp.uint64(int(PAD_WORD))
+    a_hdr = anchor_words >> jnp.uint64(LSB_BITS)
+    a_valid = anchor_words != pad
+    a_blk = (a_hdr & jnp.uint64(_BLK_FIELD)).astype(jnp.int64)
+
+    deltas = jnp.arange(-C, C + 1, dtype=jnp.int64)
+    blk_ok = (
+        (a_blk[:, None] + deltas[None, :] >= 0)
+        & (a_blk[:, None] + deltas[None, :] <= _BLK_FIELD)
+    )
+    targets = (a_hdr.astype(jnp.int64)[:, None] + deltas[None, :]).astype(jnp.uint64)
+
+    lane_list = []
+    for tw in term_words:
+        t_hdr = tw >> jnp.uint64(LSB_BITS)
+        sz = tw.shape[0]
+        i = jnp.searchsorted(t_hdr, targets.reshape(-1)).reshape(A, lanes_n)
+        i_c = jnp.clip(i, 0, sz - 1)
+        hit = (t_hdr[i_c] == targets) & blk_ok
+        pay = (tw[i_c] & jnp.uint64(int(LSB_MASK))).astype(jnp.uint32)
+        lane_list.append(jnp.where(hit, pay, jnp.uint32(0)))
+    lanes = jnp.stack(lane_list, axis=1)  # [A, T, lanes_n]
+
+    bitpos = jnp.arange(LSB_BITS, dtype=jnp.uint32)
+    bits = ((lanes[..., :, None] >> bitpos) & 1).astype(jnp.int32)
+    bits = bits.reshape(A, T, B)
+    prefix = jnp.concatenate(
+        [jnp.zeros((A, T, 1), jnp.int32), jnp.cumsum(bits, axis=-1)], axis=-1
+    )  # [A, T, B+1]
+
+    S0 = LSB_BITS * C - w
+    L = w + LSB_BITS
+    starts = S0 + jnp.arange(L)
+    cnt = prefix[..., starts + w + 1] - prefix[..., starts]  # [A, T, L]
+    m = jnp.asarray(mults, dtype=jnp.int32)
+    ok = jnp.all(cnt >= m[None, :, None], axis=1)  # [A, L]
+    okc = jnp.concatenate(
+        [jnp.zeros((A, 1), jnp.int32), jnp.cumsum(ok.astype(jnp.int32), axis=-1)],
+        axis=-1,
+    )  # [A, L+1]
+
+    b0 = jnp.arange(LSB_BITS)
+    any_win = (okc[:, b0 + w + 1] - okc[:, b0]) > 0  # [A, 18]
+    a_pay = (anchor_words & jnp.uint64(int(LSB_MASK))).astype(jnp.uint32)
+    a_bits = ((a_pay[:, None] >> bitpos) & 1) == 1
+    covered = a_bits & any_win & a_valid[:, None]
+
+    counts = jnp.sum(covered, axis=1).astype(jnp.float32)
+    keys = jnp.where(
+        a_valid, (anchor_words >> jnp.uint64(KEY_SHIFT)).astype(jnp.int32), 0
+    )
+    return jnp.zeros(num_docs, dtype=jnp.float32).at[keys].add(counts)
+
+
+_span_cache: dict = {}
+
+
+def span_freqs_dense(
+    index: DeviceIndex,
+    term_ids: List[int],
+    slop: int,
+    min_posn: Optional[int] = None,
+    max_posn: Optional[int] = None,
+):
+    """Dense per-doc slop-phrase frequencies (device float32[num_docs])."""
+    import jax
+
+    if len(term_ids) < 2:
+        raise ValueError("Must have at least two terms")
+    min_blk, max_blk = _window_blocks(min_posn, max_posn)
+    windowed = min_posn is not None or max_posn is not None
+    mb = (min_blk, max_blk) if windowed else (None, None)
+
+    n = len(term_ids)
+    w = n + slop - 1
+    C = -(-w // LSB_BITS)  # ceil
+
+    uniq: List[int] = []
+    mults: List[int] = []
+    for t in term_ids:
+        if t in uniq:
+            mults[uniq.index(t)] += 1
+        else:
+            uniq.append(t)
+            mults.append(1)
+
+    spans = [index.term_span(t) for t in uniq]
+    if min(s[1] for s in spans) == 0:
+        import jax.numpy as jnp
+
+        return jnp.zeros(index.corpus_size, dtype=jnp.float32)
+
+    anchor_i = int(np.argmin([s[1] for s in spans]))
+    words = []
+    for off, nw, bucket in spans:
+        tw, _ = _get_slice(bucket)(index.data, off, nw, *mb)
+        words.append(tw)
+    anchor = words[anchor_i]
+
+    key = (
+        w,
+        C,
+        tuple(mults),
+        anchor.shape[0],
+        tuple(x.shape[0] for x in words),
+        anchor_i,
+        index.corpus_size,
+    )
+    fn = _span_cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            partial(
+                _span_impl,
+                mults=tuple(mults),
+                w=w,
+                C=C,
+                num_docs=index.corpus_size,
+            )
+        )
+        _span_cache[key] = fn
+    return fn(anchor, *words)

@@ -1,0 +1,254 @@
+"""Solr edismax query composition over SearchArray dataframe columns.
+
+Behavioural parity with the reference (`/root/reference/searcharray/solr.py`):
+mm spec parsing (including conditional ``n<m`` clauses and percentages),
+``field^boost`` lists, term-centric vs field-centric dispatch, tie breaking,
+and pf/pf2/pf3 phrase boosts computed only over rows that matched the main
+query.  Scores are composed from dense per-field vectors produced on device.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple, Union, cast
+
+import numpy as np
+import pandas as pd
+
+from searcharray_tpu.pandas_ext.array import SearchArray
+from searcharray_tpu.search.similarity import Similarity, default_bm25
+
+
+def parse_min_should_match(num_clauses: int, spec: str) -> int:
+    """Parse Solr's minimum-should-match spec into a clause count."""
+
+    def as_int(value, msg):
+        try:
+            return int(value)
+        except ValueError:
+            raise ValueError(msg)
+
+    result = num_clauses
+    spec = spec.strip()
+
+    if "<" in spec:
+        spec = re.sub(r"\s*<\s*", "<", spec)
+        for s in spec.split():
+            parts = s.split("<", 1)
+            if len(parts) < 2:
+                raise ValueError(
+                    "Invalid 'mm' spec: '" + s + "'. Expecting values before and after '<'"
+                )
+            upper_bound = as_int(parts[0], "Invalid 'mm' spec. Expecting an integer.")
+            if num_clauses <= upper_bound:
+                return result
+            result = parse_min_should_match(num_clauses, parts[1])
+        return result
+
+    if "%" in spec:
+        percent = as_int(spec[:-1], "Invalid 'mm' spec. Expecting an integer.")
+        calc = (result * percent) * (1 / 100)
+        result = result + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = as_int(spec, "Invalid 'mm' spec. Expecting an integer.")
+        result = result + calc if calc < 0 else calc
+
+    return min(num_clauses, max(result, 0))
+
+
+def parse_field_boosts(field_lists: List[str]) -> dict:
+    """Parse ``field^2.0`` style boost lists for qf/pf/pf2/pf3."""
+    if not field_lists:
+        return {}
+    out = {}
+    for field in field_lists:
+        parts = re.split(r"\^", field)
+        out[parts[0]] = None if len(parts) == 1 else float(parts[1])
+    return out
+
+
+def get_field(frame, field) -> SearchArray:
+    if field not in frame.columns:
+        raise ValueError(f"Field {field} not in dataframe")
+    if not isinstance(frame[field].array, SearchArray):
+        raise ValueError(f"Field {field} is not a searcharray field")
+    return frame[field].array
+
+
+def parse_query_terms(frame: pd.DataFrame, query: str, query_fields: List[str]):
+    search_terms: Dict[str, List[str]] = {}
+    num_search_terms = 0
+    term_centric = True
+    for field in query_fields:
+        arr = get_field(frame, field)
+        terms = list(arr.tokenizer(query))
+        search_terms[field] = terms
+        if num_search_terms == 0:
+            num_search_terms = len(terms)
+        elif len(terms) != num_search_terms:
+            term_centric = False
+    return num_search_terms, search_terms, term_centric
+
+
+def _boost_val(boost) -> float:
+    return 1.0 if boost is None else boost
+
+
+def _boost_exp(boost) -> str:
+    return f"{boost}" if boost is not None else "1"
+
+
+def _edismax_term_centric(frame, query_fields, num_search_terms, search_terms,
+                          mm, tie, similarity) -> Tuple[np.ndarray, str]:
+    explain = []
+    term_scores = []
+    for term_posn in range(num_search_terms):
+        max_scores = np.zeros(len(frame))
+        sum_scores = np.zeros(len(frame))
+        term_explain = []
+        for field, boost in query_fields.items():
+            term = search_terms[field][term_posn]
+            post_arr = get_field(frame, field)
+            fscore = post_arr.score(term, similarity=similarity[field]) * _boost_val(boost)
+            term_explain.append(f"{field}:{term}^{_boost_exp(boost)}")
+            sum_scores += fscore
+            max_scores = np.maximum(max_scores, fscore)
+        term_scores.append(max_scores + (sum_scores - max_scores) * tie)
+        explain.append("(" + " | ".join(term_explain) + ")")
+
+    min_should_match = parse_min_should_match(num_search_terms, spec=mm)
+    qf_scores = np.asarray(term_scores)
+    matches_gt_mm = np.sum(qf_scores > 0, axis=0) >= min_should_match
+    qf_scores = np.sum(term_scores, axis=0)
+    qf_scores[~matches_gt_mm] = 0
+    return qf_scores, "(" + " ".join(explain) + f")~{min_should_match}"
+
+
+def _edismax_field_centric(frame, query_fields, num_search_terms, search_terms,
+                           mm, tie, similarity) -> Tuple[np.ndarray, str]:
+    field_scores = []
+    explain = []
+    for field, boost in query_fields.items():
+        post_arr = get_field(frame, field)
+        term_scores = np.array(
+            [post_arr.score(term, similarity=similarity[field])
+             for term in search_terms[field]]
+        )
+        min_should_match = parse_min_should_match(len(search_terms[field]), spec=mm)
+        exp = " ".join([f"{field}:{term}" for term in search_terms[field]])
+        exp = "(" + exp + f")~{min(min_should_match, len(search_terms[field]))}"
+        exp = "(" + exp + f")^{_boost_exp(boost)}"
+        matches_gt_mm = (
+            np.sum(term_scores > 0, axis=0)
+            >= min(min_should_match, len(search_terms[field]))
+        )
+        summed = np.sum(term_scores, axis=0)
+        summed[~matches_gt_mm] = 0
+        field_scores.append(summed * _boost_val(boost))
+        explain.append(exp)
+    qf_scores = np.asarray(field_scores)
+    summed_scores = np.sum(qf_scores, axis=0)
+    qf_scores = np.max(qf_scores, axis=0)
+    qf_scores = qf_scores + (summed_scores - qf_scores) * tie
+    return qf_scores, " | ".join(explain)
+
+
+def _ngram_phase(searchable, search_terms, fields, similarity, ngram: int,
+                 slop: int = 0) -> Tuple[Union[np.ndarray, List], str]:
+    """pf (ngram=0 means whole phrase), pf2 (ngram=2), pf3 (ngram=3) scoring."""
+    scores: List[np.ndarray] = []
+    explain = ""
+    for field, boost in fields.items():
+        arr = searchable[field]
+        terms = search_terms[field]
+        min_terms = ngram if ngram else 2
+        if len(terms) < min_terms:
+            continue
+        if ngram == 0:
+            grams = [terms]
+        else:
+            grams = [terms[i : i + ngram] for i in range(len(terms) - ngram + 1)]
+        for gram in grams:
+            s = arr.score(gram, similarity=similarity[field]) * _boost_val(boost)
+            explain += f" ({field}:\"{' '.join(gram)}\")^{_boost_exp(boost)}"
+            scores.append(s)
+        if ngram == 2 and grams:
+            # parity quirk: the reference double-appends the final bigram
+            # (solr.py:221)
+            scores.append(s)
+    if len(scores) > 0:
+        return np.sum(scores, axis=0), explain
+    return scores, explain
+
+
+def edismax(frame: pd.DataFrame, q: str, qf: List[str],
+            mm: Optional[Union[str, int]] = None,
+            pf: Optional[List[str]] = None,
+            pf2: Optional[List[str]] = None,
+            pf3: Optional[List[str]] = None,
+            ps2: int = 0, ps3: int = 0, ps: int = 0,
+            tie: float = 0.0, q_op: str = "OR",
+            similarity: Union[Similarity, Dict[str, Similarity]] = default_bm25,
+            ) -> Tuple[np.ndarray, str]:
+    """Run an edismax query over a dataframe with SearchArray columns.
+
+    Returns (scores, explain string)."""
+
+    def listify(x):
+        return x if isinstance(x, list) else [x]
+
+    query_fields = parse_field_boosts(listify(qf))
+    phrase_fields = parse_field_boosts(listify(pf)) if pf else {}
+    if mm is None:
+        mm = "1"
+    if isinstance(mm, int):
+        mm = f"{mm}"
+    if q_op == "AND":
+        mm = "100%"
+
+    if not isinstance(similarity, dict):
+        similarity = {field: similarity for field in query_fields}
+    for field in query_fields:
+        if field not in similarity:
+            similarity[field] = default_bm25
+
+    bigram_fields = parse_field_boosts(pf2) if pf2 else {}
+    trigram_fields = parse_field_boosts(pf3) if pf3 else {}
+
+    num_search_terms, search_terms, term_centric = parse_query_terms(
+        frame, q, list(query_fields.keys())
+    )
+    if term_centric:
+        qf_scores, explain = _edismax_term_centric(
+            frame, query_fields, num_search_terms, search_terms, mm,
+            tie=tie, similarity=similarity,
+        )
+    else:
+        qf_scores, explain = _edismax_field_centric(
+            frame, query_fields, num_search_terms, search_terms, mm,
+            tie=tie, similarity=similarity,
+        )
+
+    # Phrase phases run only over rows matched by the main query.
+    searchable = {
+        field: cast(SearchArray, frame[field].array)[qf_scores > 0]
+        for field in query_fields
+    }
+    phrase_scores, pf_explain = _ngram_phase(
+        searchable, search_terms, phrase_fields, similarity, 0, ps
+    )
+    explain += pf_explain
+    bigram_scores, pf2_explain = _ngram_phase(
+        searchable, search_terms, bigram_fields, similarity, 2, ps2
+    )
+    explain += pf2_explain
+    trigram_scores, pf3_explain = _ngram_phase(
+        searchable, search_terms, trigram_fields, similarity, 3, ps3
+    )
+    explain += pf3_explain
+
+    for extra in (phrase_scores, bigram_scores, trigram_scores):
+        if len(extra) > 0:
+            term_match_idx = np.where(qf_scores)[0]
+            qf_scores[term_match_idx] += extra
+
+    return qf_scores, explain
