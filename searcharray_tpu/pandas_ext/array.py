@@ -158,6 +158,21 @@ class TermsDtype(ExtensionDtype):
 register_extension_dtype(TermsDtype)
 
 
+class _IndexState:
+    """Mutable holder shared by all row views of one backing index.
+
+    Mutations (``__setitem__``) swap ``built`` in place so every pandas view
+    of the same array observes them (pandas view semantics), while ``copy()``
+    makes a new holder — copy-on-write.
+    """
+
+    __slots__ = ("built", "dev")
+
+    def __init__(self, built: BuiltIndex, dev: Optional[DeviceIndex] = None):
+        self.built = built
+        self.dev = dev
+
+
 class SearchArray(ExtensionArray):
     """An array of tokenized text, indexed for search on TPU.
 
@@ -178,23 +193,38 @@ class SearchArray(ExtensionArray):
     # ------------------------------------------------------------------
     # construction / wiring
     # ------------------------------------------------------------------
-    def _attach(self, built: BuiltIndex, rows: Optional[np.ndarray] = None,
-                subset: bool = False, dev: Optional[DeviceIndex] = None):
-        self._built = built
-        self._dev = dev
+    def _attach(self, built, rows: Optional[np.ndarray] = None,
+                subset: bool = False):
+        state = built if isinstance(built, _IndexState) else _IndexState(built)
+        self._state = state
         self.rows = (
-            np.arange(built.corpus_size, dtype=np.int64) if rows is None else rows
+            np.arange(state.built.corpus_size, dtype=np.int64)
+            if rows is None
+            else rows
         )
         self.subset = subset
-        self.doc_lens = built.doc_lens[self.rows]
-        self.avg_doc_length = built.avg_doc_length
-        self.corpus_size = built.corpus_size
+
+    @property
+    def _built(self) -> BuiltIndex:
+        return self._state.built
+
+    @property
+    def doc_lens(self) -> np.ndarray:
+        return self._built.doc_lens[self.rows]
+
+    @property
+    def avg_doc_length(self) -> float:
+        return self._built.avg_doc_length
+
+    @property
+    def corpus_size(self) -> int:
+        return self._built.corpus_size
 
     @property
     def dev(self) -> DeviceIndex:
-        if self._dev is None:
-            self._dev = DeviceIndex(self._built)
-        return self._dev
+        if self._state.dev is None:
+            self._state.dev = DeviceIndex(self._built)
+        return self._state.dev
 
     @property
     def term_dict(self):
@@ -281,10 +311,13 @@ class SearchArray(ExtensionArray):
             return self._row_to_terms(int(self.rows[row]))
         new = SearchArray([], tokenizer=self.tokenizer,
                           avoid_copies=self.avoid_copies)
-        new._attach(self._built, rows=self.rows[key], subset=True, dev=self._dev)
+        new._attach(self._state, rows=self.rows[key], subset=True)
+        new._readonly = self._readonly
         return new
 
     def __setitem__(self, key, value):
+        if self._readonly:
+            raise ValueError("Cannot modify read-only array")
         key = pd.api.indexers.check_array_indexer(self, key)
         if isinstance(value, pd.Series):
             value = value.values
@@ -324,9 +357,10 @@ class SearchArray(ExtensionArray):
             if isinstance(v, dict):
                 v = Terms(v, doc_len=len(v))
             all_rows[int(t)] = v
-        built = build_index_from_terms(all_rows, Terms)
-        rows, subset = self.rows, self.subset
-        self._attach(built, rows=rows, subset=subset)
+        # Swap the shared holder in place: all pandas views of this array
+        # observe the mutation; copies (separate holders) do not.
+        self._state.built = build_index_from_terms(all_rows, Terms)
+        self._state.dev = None
 
     def value_counts(self, dropna: bool = True):
         counts = Counter(self[:])
@@ -407,8 +441,10 @@ class SearchArray(ExtensionArray):
         new = SearchArray([], tokenizer=self.tokenizer,
                           avoid_copies=self.avoid_copies)
         if self.avoid_copies:
-            new._attach(self._built, rows=self.rows.copy(), subset=self.subset,
-                        dev=self._dev)
+            # share immutable built + device buffers until either side
+            # mutates (mutation swaps its own holder's built)
+            new._attach(_IndexState(self._built, self._state.dev),
+                        rows=self.rows.copy(), subset=self.subset)
         else:
             import copy as _copy
 
@@ -430,16 +466,28 @@ class SearchArray(ExtensionArray):
         return arr, Terms({})
 
     def __array__(self, dtype=None, copy=None):
+        if copy is False:
+            raise ValueError(
+                "SearchArray rows are materialised on conversion; a no-copy "
+                "numpy view is not possible"
+            )
         return np.asarray([self._row_to_terms(int(r)) for r in self.rows],
                           dtype=object)
 
     def __getstate__(self):
-        state = dict(self.__dict__)
-        state["_dev"] = None  # device buffers re-upload lazily on load
-        return state
+        return {
+            "built": self._built,
+            "rows": self.rows,
+            "subset": self.subset,
+            "tokenizer": self.tokenizer,
+            "avoid_copies": self.avoid_copies,
+        }
 
     def __setstate__(self, state):
-        self.__dict__.update(state)
+        self.tokenizer = state["tokenizer"]
+        self.avoid_copies = state["avoid_copies"]
+        # device buffers re-upload lazily on first search
+        self._attach(state["built"], rows=state["rows"], subset=state["subset"])
 
     def _check_token_arg(self, token):
         if isinstance(token, str):

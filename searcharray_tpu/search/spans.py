@@ -11,14 +11,22 @@ window test:
   (``m_t`` = multiplicity of ``t`` in the query, ``n`` = query length).
   The doc's slop frequency is its number of covered anchor positions.
 
-This matches the automaton's span-width bound (span width < n + slop,
-`spans.pyx:131,216`) and preserves the metamorphic invariants the reference
-tests assert (`test_phrase_matches.py:206-221`): slop counts are >= exact
-phrase counts (each exact occurrence covers a distinct anchor position) and
-are monotone non-decreasing in slop (the window set only grows).  On
-repeated-term queries it is slightly stricter than the automaton (which
-accepts any ``n`` distinct positions, `spans.pyx:125-128`) — i.e. fewer
-false positives.
+This enforces the automaton's *intended* span-width bound (span width
+< n + slop, `spans.pyx:131,216`) and preserves the metamorphic invariants
+the reference tests assert (`test_phrase_matches.py:206-221`): slop counts
+are >= exact phrase counts (each exact occurrence covers a distinct anchor
+position) and are monotone non-decreasing in slop (the window set only
+grows).
+
+Known divergence (deliberate): the shipped automaton leaks position bits
+into spans on *cancelled* updates (`spans.pyx:263` runs before the
+cancellation at `spans.pyx:267-270`), which completes width-0 spans via the
+``num_posns == num_terms`` clause (`spans.pyx:125-128`).  The observable
+effect is that reference slop search matches any document containing all
+query terms at **any** distance (verified empirically: ``foo@0 bar@50``
+matches at slop=1).  The reference marks slop "experimental … inaccurate"
+(`postings.py:694`).  This implementation applies the width bound soundly
+instead, i.e. strictly fewer false positives, Lucene-SpanNear-like.
 
 Per anchor word, each term's neighbourhood (blocks b-C .. b+C) is gathered
 by header alignment, expanded to a bit raster, and window counts come from

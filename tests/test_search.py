@@ -1,0 +1,180 @@
+"""Term-level search API: termfreqs, docfreq, score composition, windows.
+
+Covers the reference's test_search.py / test_minmax_posns.py behavior space.
+"""
+import numpy as np
+import pytest
+
+from searcharray_tpu import SearchArray
+from searcharray_tpu.search.similarity import (
+    bm25_similarity,
+    classic_similarity,
+    compute_idf,
+)
+
+CORPUS = ["foo bar bar baz", "data2", "data3 bar", "bunny funny wunny"]
+
+
+@pytest.fixture
+def docs():
+    return SearchArray.index(CORPUS * 25)
+
+
+def test_termfreqs(docs):
+    assert np.array_equal(docs.termfreqs("bar"), [2, 0, 1, 0] * 25)
+    assert np.array_equal(docs.termfreqs("foo"), [1, 0, 0, 0] * 25)
+    assert np.array_equal(docs.termfreqs("nope"), [0, 0, 0, 0] * 25)
+
+
+def test_docfreq(docs):
+    assert docs.docfreq("bar") == 50
+    assert docs.docfreq("foo") == 25
+    assert docs.docfreq("nope") == 0
+    with pytest.raises(TypeError):
+        docs.docfreq(["foo"])
+
+
+def test_doclengths(docs):
+    assert np.array_equal(docs.doclengths(), [4, 1, 2, 3] * 25)
+    assert docs.avg_doc_length == pytest.approx(2.5)
+
+
+def test_score_matches_manual_bm25(docs):
+    scores = docs.score("bar")
+    tf = np.array([2, 0, 1, 0] * 25, dtype=np.float32)
+    dl = np.array([4, 1, 2, 3] * 25, dtype=np.float32)
+    idf = compute_idf(100, np.asarray([50.0]))
+    expected = tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.5)) * idf
+    assert np.allclose(scores, expected, rtol=1e-6)
+
+
+def test_score_or_composition(docs):
+    # OR = sum of per-term scores (edismax-style)
+    s = docs.score("foo") + docs.score("bar")
+    assert s[0] > docs.score("foo")[0]
+    assert np.all(s[1::4] == 0)
+
+
+def test_score_custom_similarity(docs):
+    scores = docs.score("bar", similarity=classic_similarity())
+    tf = np.sqrt(np.array([2, 0, 1, 0] * 25, dtype=np.float32))
+    idf = np.float32(np.log((100 + 1) / (50 + 1)) + 1)
+    dl = np.array([4, 1, 2, 3] * 25, dtype=np.float32)
+    with np.errstate(divide="ignore"):
+        expected = np.where(tf > 0, idf * tf / np.sqrt(dl), 0)
+    nz = tf > 0
+    assert np.allclose(scores[nz], expected[nz], rtol=1e-6)
+
+
+def test_score_on_slice(docs):
+    sliced = docs[::2]
+    full = docs.score("bar")
+    assert np.allclose(sliced.score("bar"), full[::2])
+
+
+def test_score_missing_term(docs):
+    assert np.all(docs.score("nonexistent") == 0)
+
+
+def test_score_phrase_uses_summed_idf(docs):
+    scores = docs.score(["foo", "bar"])
+    tf = np.array([1, 0, 0, 0] * 25, dtype=np.float32)
+    dl = np.array([4, 1, 2, 3] * 25, dtype=np.float32)
+    idf = compute_idf(100, np.asarray([25.0, 50.0]))
+    expected = tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.5)) * idf
+    assert np.allclose(scores, expected, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# min/max position windows (reference: test_minmax_posns.py)
+# ---------------------------------------------------------------------------
+WINDOW_CORPUS = [
+    "foo bar bar baz" + " ".join(["boz"] * 25) + " foo bar",
+    "data2",
+    "data3 bar",
+    "bunny funny wunny",
+]
+
+
+@pytest.mark.parametrize(
+    "min_posn,max_posn,expected",
+    [
+        (0, 17, [1, 0, 0, 0]),
+        (0, None, [2, 0, 0, 0]),
+        (18, None, [1, 0, 0, 0]),
+    ],
+)
+def test_minmax_phrase_windows(min_posn, max_posn, expected):
+    docs = SearchArray.index(WINDOW_CORPUS * 25)
+    got = docs.termfreqs(["foo", "bar"], min_posn=min_posn, max_posn=max_posn)
+    assert np.array_equal(got, expected * 25)
+
+
+def test_minmax_same_term_window():
+    corpus = [
+        "foo foo baz baz" + " ".join(["boz"] * 25) + " foo foo",
+        "data2",
+        "data3 bar",
+        "bunny funny wunny",
+    ]
+    docs = SearchArray.index(corpus * 25)
+    got = docs.termfreqs(["foo", "foo"], min_posn=0, max_posn=17)
+    assert np.array_equal(got, [1, 0, 0, 0] * 25)
+
+
+def test_minmax_single_term_window():
+    docs = SearchArray.index(WINDOW_CORPUS * 25)
+    got = docs.termfreqs("bar", min_posn=0, max_posn=17)
+    assert np.array_equal(got, [2, 0, 1, 0] * 25)
+    got = docs.termfreqs("bar", min_posn=18, max_posn=None)
+    assert np.array_equal(got, [1, 0, 0, 0] * 25)
+
+
+def test_minmax_invalid_bounds():
+    docs = SearchArray.index(WINDOW_CORPUS)
+    with pytest.raises(ValueError):
+        docs.termfreqs("bar", min_posn=5, max_posn=17)
+    with pytest.raises(ValueError):
+        docs.termfreqs("bar", min_posn=0, max_posn=20)
+
+
+def test_index_does_not_mutate_on_query(docs):
+    before = docs.copy()
+    docs.termfreqs(["foo", "bar"])
+    docs.score("bar")
+    docs.termfreqs(["foo", "bar"], slop=2)
+    assert np.all(docs == before)
+
+
+def test_pickle_roundtrip(tmp_path):
+    import pickle
+
+    docs = SearchArray.index(CORPUS * 25)
+    blob = pickle.dumps(docs)
+    restored = pickle.loads(blob)
+    assert np.allclose(restored.score("bar"), docs.score("bar"))
+    assert np.array_equal(restored.termfreqs(["foo", "bar"]),
+                          docs.termfreqs(["foo", "bar"]))
+
+
+def test_memmap_pickle_roundtrip(tmp_path):
+    import pickle
+
+    docs = SearchArray.index(CORPUS * 25, data_dir=str(tmp_path))
+    expected = docs.score("bar")
+    blob = pickle.dumps(docs)
+    restored = pickle.loads(blob)
+    assert np.allclose(restored.score("bar"), expected)
+
+
+def test_save_load_index(tmp_path):
+    from searcharray_tpu.index.store import load_index, save_index
+
+    docs = SearchArray.index(CORPUS * 25)
+    save_index(docs._built, str(tmp_path / "idx"))
+    built = load_index(str(tmp_path / "idx"))
+    restored = SearchArray([], tokenizer=docs.tokenizer)
+    restored._attach(built)
+    assert np.allclose(restored.score("bar"), docs.score("bar"))
+    assert np.array_equal(restored.termfreqs(["foo", "bar"]),
+                          docs.termfreqs(["foo", "bar"]))

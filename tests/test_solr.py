@@ -1,0 +1,207 @@
+"""edismax DSL: mm parsing and score composition (reference: test_solr.py)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from searcharray_tpu import SearchArray, edismax
+from searcharray_tpu.solr import parse_min_should_match
+
+
+@pytest.mark.parametrize(
+    "clauses,spec,expected",
+    [
+        (10, "50%", 5),
+        (10, "150%", 10),
+        (10, "-50%", 5),
+        (10, "3", 3),
+        (10, "-3", 7),
+        (10, "15", 10),
+        (10, "5<70%", 7),
+        (10, "15<70%", 10),
+        (10, "3<50% 5<30%", 3),
+        (10, "2<2 5<3 7<40%", 4),
+    ],
+)
+def test_parse_mm(clauses, spec, expected):
+    assert parse_min_should_match(clauses, spec) == expected
+
+
+@pytest.mark.parametrize("spec", ["five%", "five", "5<", ""])
+def test_parse_mm_invalid(spec):
+    with pytest.raises(ValueError):
+        parse_min_should_match(10, spec)
+
+
+TITLE_DOCS = ["foo bar bar baz", "data2", "data3 bar", "bunny funny wunny"]
+
+
+def one_token_lowercase(text):
+    return [text.lower()]
+
+
+def all_b_tokenizer(text):
+    return ["b"] * len(text.split())
+
+
+@pytest.fixture
+def frame():
+    return pd.DataFrame(
+        {
+            "title": SearchArray.index(TITLE_DOCS),
+            "body": SearchArray.index(["buzz", "data2", "data3 bar", "bunny funny wunny"]),
+        }
+    )
+
+
+def test_term_centric_max_over_fields(frame):
+    scores, explain = edismax(frame, q="foo bar", qf=["title", "body"])
+    title = frame["title"].array
+    body = frame["body"].array
+    expected0 = title.score("foo")[0] + title.score("bar")[0]
+    expected2 = max(title.score("bar")[2], body.score("bar")[2])
+    assert np.allclose(scores, [expected0, 0, expected2, 0])
+    assert "title:foo" in explain
+
+
+def test_field_boost(frame):
+    scores, _ = edismax(frame, q="foo bar", qf=["title^10", "body"])
+    title = frame["title"].array
+    body = frame["body"].array
+    expected0 = 10 * (title.score("foo")[0] + title.score("bar")[0])
+    expected2 = max(10 * title.score("bar")[2], body.score("bar")[2])
+    assert np.allclose(scores, [expected0, 0, expected2, 0])
+
+
+def test_field_centric_when_tokenizers_disagree():
+    frame = pd.DataFrame(
+        {
+            "title": SearchArray.index(TITLE_DOCS),
+            "body": SearchArray.index(
+                ["foo bar", "data2", "data3 bar", "bunny funny wunny"],
+                tokenizer=one_token_lowercase,
+            ),
+        }
+    )
+    scores, _ = edismax(frame, q="foo bar", qf=["title", "body"])
+    title = frame["title"].array
+    body = frame["body"].array
+    expected0 = max(
+        title.score("foo")[0] + title.score("bar")[0], body.score("foo bar")[0]
+    )
+    assert np.allclose(scores, [expected0, 0, title.score("bar")[2], 0])
+
+
+def test_field_centric_tie():
+    frame = pd.DataFrame(
+        {
+            "title": SearchArray.index(TITLE_DOCS),
+            "body": SearchArray.index(
+                ["foo bar", "data2", "data3 bar", "bunny funny wunny"],
+                tokenizer=one_token_lowercase,
+            ),
+        }
+    )
+    scores, _ = edismax(frame, q="foo bar", qf=["title", "body"], tie=0.1)
+    title = frame["title"].array
+    body = frame["body"].array
+    qf_title = title.score("foo")[0] + title.score("bar")[0]
+    qf_body = body.score("foo bar")[0]
+    hi, lo = max(qf_title, qf_body), min(qf_title, qf_body)
+    assert np.allclose(scores[0], hi + 0.1 * lo)
+
+
+def test_mm_two(frame):
+    scores, _ = edismax(frame, q="foo bar", qf=["title", "body"], mm="2")
+    # only doc 0 has both terms
+    assert scores[0] > 0
+    assert np.all(scores[1:] == 0)
+
+
+def test_q_op_and(frame):
+    scores_and, _ = edismax(frame, q="foo bar", qf=["title", "body"], q_op="AND")
+    scores_mm, _ = edismax(frame, q="foo bar", qf=["title", "body"], mm="100%")
+    assert np.allclose(scores_and, scores_mm)
+
+
+def test_term_centric_tie(frame):
+    scores, _ = edismax(frame, q="bar", qf=["title", "body"], tie=0.5)
+    title = frame["title"].array
+    body = frame["body"].array
+    t, b = title.score("bar")[2], body.score("bar")[2]
+    assert np.allclose(scores[2], max(t, b) + 0.5 * min(t, b))
+
+
+def test_pf_adds_phrase_score(frame):
+    scores, _ = edismax(frame, q="foo bar", qf=["title", "body"], pf=["title"])
+    title = frame["title"].array
+    expected0 = (
+        title.score(["foo", "bar"])[0]
+        + title.score("foo")[0]
+        + title.score("bar")[0]
+    )
+    assert np.allclose(scores[0], expected0)
+
+
+def test_pf_single_term_noop(frame):
+    direct = frame["title"].array.score("foo")
+    scores, _ = edismax(frame[["title"]], q="foo", qf=["title"], pf=["title"])
+    assert np.allclose(scores, direct)
+
+
+def test_pf2_single_term_noop(frame):
+    direct = frame["title"].array.score("foo")
+    scores, _ = edismax(frame[["title"]], q="foo", qf=["title"], pf2=["title"])
+    assert np.allclose(scores, direct)
+    scores2, _ = edismax(frame[["title"]], q="foo bar", qf=["title"], pf2=["title"])
+    assert not np.allclose(scores2, direct)
+
+
+def test_pf3_needs_three_terms(frame):
+    title = frame["title"].array
+    direct2 = title.score("foo") + title.score("bar")
+    scores2, _ = edismax(frame[["title"]], q="foo bar", qf=["title"], pf3=["title"])
+    assert np.allclose(scores2, direct2)
+    scores3, _ = edismax(frame[["title"]], q="foo bar bar", qf=["title"],
+                         pf3=["title"])
+    assert not np.allclose(scores3, direct2)
+
+
+def binary_similarity(term_freqs, doc_freqs, doc_lens, avg_doc_lens, num_docs):
+    return np.asarray(term_freqs) > 0
+
+
+def test_custom_similarity(frame):
+    scores, _ = edismax(frame, q="foo bar", qf=["title", "body"],
+                        similarity=binary_similarity)
+    assert np.all(scores.astype(np.int64) == scores)
+
+
+def test_custom_similarity_per_field(frame):
+    def tiny(term_freqs, doc_freqs, doc_lens, avg_doc_lens, num_docs):
+        return (np.asarray(term_freqs) > 0).astype(np.float32) * 0.0001
+
+    scores, _ = edismax(
+        frame, q="foo bar", qf=["title", "body"],
+        similarity={"title": binary_similarity, "body": tiny},
+    )
+    assert np.allclose(scores.astype(np.int64).astype(np.float32), scores,
+                       atol=0.001)
+
+
+def test_different_analyzers_term_centric():
+    frame = pd.DataFrame(
+        {
+            "title": SearchArray.index(TITLE_DOCS),
+            "body": SearchArray.index(
+                ["buzz", "data2", "data3 bar", "bunny funny wunny"],
+                tokenizer=all_b_tokenizer,
+            ),
+        }
+    )
+    scores, _ = edismax(frame, q="bar", qf=["title", "body"])
+    title = frame["title"].array
+    body = frame["body"].array
+    expected = [
+        max(title.score("bar")[i], body.score("b")[i]) for i in range(4)
+    ]
+    assert np.allclose(scores, expected)
