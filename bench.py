@@ -1,0 +1,110 @@
+"""Headline benchmark: MSMARCO-scale term + phrase BM25 throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N}
+
+Workload: 100k synthetic passages with a zipfian vocabulary calibrated to
+MSMARCO passage statistics (~56 tokens/doc), scored corpus-wide per query —
+the same work the reference does in its MSMARCO benchmark
+(`/root/reference/test/test_msmarco.py`).  The query mix mirrors the
+reference's dev-log phrase suite ("what is", "what is the", "star trek",
+...): frequent-frequent bigrams, frequent trigrams and rare bigrams, plus
+single-term BM25 queries.
+
+Baseline: the reference's recorded mean phrase latency on 100k docs is
+1.026 s/query (BASELINE.md, test_msmarco.py:212-218) => 0.975 qps.
+vs_baseline is our mixed-workload qps divided by that.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS = 0.975  # 1 / mean(reference phrase latencies on 100k docs)
+N_DOCS = 100_000
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_corpus(n_docs=N_DOCS, seed=42):
+    """Zipfian corpus: ~30k vocab, ~56 tokens/doc (MSMARCO passage-like)."""
+    rng = np.random.default_rng(seed)
+    v = 30_000
+    vocab = np.array(
+        ["what", "is", "the", "of", "a", "star", "trek", "purpose"]
+        + [f"w{i}" for i in range(v)]
+    )
+    probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.07
+    probs /= probs.sum()
+    lens = rng.integers(20, 90, size=n_docs)
+    toks = rng.choice(len(vocab), size=int(lens.sum()), p=probs)
+    words = vocab[toks]
+    out = []
+    pos = 0
+    for L in lens:
+        out.append(" ".join(words[pos : pos + L]))
+        pos += L
+    return out
+
+
+def main():
+    t0 = time.perf_counter()
+    corpus = build_corpus()
+    log(f"corpus built in {time.perf_counter() - t0:.1f}s")
+
+    from searcharray_tpu import SearchArray
+
+    t0 = time.perf_counter()
+    docs = SearchArray.index(corpus, autowarm=False)
+    build_s = time.perf_counter() - t0
+    log(f"index build: {build_s:.2f}s  ({docs.nbytes / 1e6:.1f} MB host)")
+
+    term_queries = ["what", "star", "purpose", "w17", "w333", "w4095"]
+    phrase_queries = [
+        ["what", "is"],
+        ["what", "is", "the"],
+        ["what", "is", "the", "purpose"],
+        ["what", "is", "the", "purpose", "of"],
+        ["star", "trek"],
+        ["the", "of"],
+    ]
+
+    # warmup (compile)
+    for q in term_queries:
+        docs.score(q)
+    for q in phrase_queries:
+        docs.score(q)
+    log("warmup done")
+
+    reps = 5
+    t0 = time.perf_counter()
+    n_q = 0
+    for _ in range(reps):
+        for q in term_queries:
+            docs.score(q)
+            n_q += 1
+        for q in phrase_queries:
+            s = docs.score(q)
+            n_q += 1
+    np.asarray(s)
+    elapsed = time.perf_counter() - t0
+    qps = n_q / elapsed
+    log(f"{n_q} queries in {elapsed:.2f}s -> {qps:.2f} qps")
+
+    print(
+        json.dumps(
+            {
+                "metric": "MSMARCO-100k-synthetic term+phrase BM25 queries/sec/chip",
+                "value": round(qps, 3),
+                "unit": "qps",
+                "vs_baseline": round(qps / BASELINE_QPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -272,6 +272,24 @@ def _repack(batches: List[_BatchResult], num_terms: int) -> TermPostings:
     return TermPostings(data, offsets, lengths)
 
 
+def compute_doc_freqs(postings: TermPostings) -> np.ndarray:
+    """Per-term document frequency, one vectorised pass over the CSR buffer.
+
+    Precomputing df at build time removes every per-query device->host
+    docfreq sync (the reference computes+caches it lazily per term,
+    `middle_out.py:521-528`)."""
+    V = postings.num_terms
+    W = len(postings.data)
+    if W == 0:
+        return np.zeros(V, dtype=np.int64)
+    keys = enc.keys_of(postings.data)
+    newdoc = np.ones(W, dtype=bool)
+    newdoc[1:] = keys[1:] != keys[:-1]
+    newdoc[postings.offsets[postings.lengths > 0]] = True
+    tid_of_word = np.repeat(np.arange(V, dtype=np.int64), postings.lengths)
+    return np.bincount(tid_of_word[newdoc], minlength=V).astype(np.int64)
+
+
 @dataclass
 class BuiltIndex:
     postings: TermPostings
@@ -279,6 +297,11 @@ class BuiltIndex:
     vocab: Vocabulary
     doc_lens: np.ndarray          # float32[N]
     avg_doc_length: float
+    doc_freqs: Optional[np.ndarray] = None   # int64[V]
+
+    def __post_init__(self):
+        if self.doc_freqs is None:
+            self.doc_freqs = compute_doc_freqs(self.postings)
 
     @property
     def corpus_size(self) -> int:

@@ -35,8 +35,7 @@ class DeviceIndex:
         pad = np.full(self.max_bucket, PAD_WORD, dtype=np.uint64)
         self.data = jnp.asarray(np.concatenate([built.postings.data, pad]))
         self.doc_lens = jnp.asarray(built.doc_lens, dtype=jnp.float32)
-
-        self._df_cache: Dict[int, int] = {}
+        self.doc_freqs = built.doc_freqs  # host int64[V], precomputed
 
     def term_span(self, term_id: int) -> Tuple[int, int, int]:
         """(offset, length, bucket) for a term's posting slice."""

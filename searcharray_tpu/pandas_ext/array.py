@@ -251,10 +251,20 @@ class SearchArray(ExtensionArray):
         return arr
 
     def warm(self):
-        """Prime docfreq cache for common terms (reference warm threshold 255)."""
+        """Pre-compile the fused scoring kernel for every posting-bucket size
+        of common terms (the analog of the reference's df/tf cache warm,
+        middle_out.py:337-342 — our dfs are precomputed, the cost to hide
+        here is XLA compilation)."""
+        from searcharray_tpu.ops.kernels import bucket_of
+
         lengths = self._built.postings.lengths
-        for tid in np.flatnonzero(lengths > 255):
-            scoring.docfreq(self.dev, int(tid))
+        common = np.flatnonzero(lengths > 255)
+        seen = set()
+        for tid in common:
+            bkt = bucket_of(int(lengths[tid]))
+            if bkt not in seen:
+                seen.add(bkt)
+                scoring.score_term_dense(self.dev, int(tid))
 
     @classmethod
     def _from_sequence(cls, scalars, *, dtype=None, copy=False):
@@ -562,6 +572,12 @@ class SearchArray(ExtensionArray):
               min_posn: Optional[int] = None,
               max_posn: Optional[int] = None) -> np.ndarray:
         token = self._check_token_arg(token)
+        fused = getattr(similarity, "_fused", None)
+        if fused is not None:
+            dense = self._score_fused(token, fused, slop, min_posn, max_posn)
+            return self._gather_rows(np.asarray(dense, dtype=np.float32))
+        # Custom (user) similarity: honour the reference protocol exactly —
+        # subset-shaped numpy tfs/doc_lens in, scores out.
         tokens_l = [token] if isinstance(token, str) else token
         all_dfs = np.asarray([self.docfreq(t) for t in tokens_l])
         tfs = self.termfreqs(token, min_posn=min_posn, max_posn=max_posn,
@@ -570,6 +586,38 @@ class SearchArray(ExtensionArray):
         scores = similarity(tfs, all_dfs, doc_lens, self.avg_doc_length,
                             self.corpus_size)
         return np.asarray(scores, dtype=np.float32)
+
+    def _score_fused(self, token, fused, slop, min_posn, max_posn):
+        """Single-dispatch score path for builtin similarities."""
+        kind, k1, b = fused
+        tokens_l = [token] if isinstance(token, str) else token
+        try:
+            term_ids = [self.term_dict.get_term_id(t) for t in tokens_l]
+        except TermMissingError:
+            term_ids = None
+        # idf uses ALL query terms' dfs (missing terms -> df 0, parity with
+        # score() computing docfreq per token, postings.py:670-672)
+        dfs = [self.docfreq(t) for t in tokens_l]
+        idf = scoring.host_idf(kind, dfs, self.corpus_size,
+                               self.avg_doc_length)
+        if term_ids is None:
+            return np.zeros(self.corpus_size, dtype=np.float32)
+        if self.avg_doc_length == 0:
+            return np.zeros(self.corpus_size, dtype=np.float32)
+        if isinstance(token, str):
+            return scoring.score_term_dense(
+                self.dev, term_ids[0], kind=kind, k1=k1, b=b,
+                min_posn=min_posn, max_posn=max_posn, idf=idf,
+            )
+        if slop == 0:
+            return phrase_mod.phrase_freqs_dense(
+                self.dev, term_ids, min_posn, max_posn,
+                kind=kind, k1=k1, b=b, idf=idf,
+            )
+        return spans_mod.span_freqs_dense(
+            self.dev, term_ids, slop, min_posn, max_posn,
+            kind=kind, k1=k1, b=b, idf=idf,
+        )
 
     def positions(self, token: str, key=None) -> List[np.ndarray]:
         tid = self.term_dict.get_term_id(token)

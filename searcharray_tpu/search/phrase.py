@@ -14,7 +14,10 @@ galloping search.  Here every step is fixed-shape:
 * header alignment is a vectorised ``searchsorted`` (both sides sorted);
 * per-doc counts are scattered into a dense ``float32[num_docs]`` vector and
   combined with elementwise ``min`` — replacing sparse id intersection
-  (`middle_out.py:73-93`).
+  (`middle_out.py:73-93`);
+* the whole query — every term's slice, the full chain, the min, and the
+  similarity — compiles into ONE dispatch (round-trips dominate on
+  tunneled TPUs).
 """
 from __future__ import annotations
 
@@ -26,16 +29,13 @@ import numpy as np
 from searcharray_tpu.index.device import DeviceIndex
 from searcharray_tpu.ops import kernels as K
 from searcharray_tpu.ops.encoding import KEY_SHIFT, LSB_BITS, LSB_MASK, PAD_WORD
-from searcharray_tpu.search.scoring import _window_blocks
+from searcharray_tpu.search.scoring import (
+    _window_blocks,
+    apply_similarity_device,
+    host_idf,
+)
 
-_LSB32 = np.uint32(int(LSB_MASK))
 _TOP_BIT = 1 << (LSB_BITS - 1)  # bit 17, "last position in block"
-
-
-def _hdrs(words):
-    import jax.numpy as jnp
-
-    return words >> jnp.uint64(LSB_BITS)
 
 
 def _pay32(words):
@@ -54,90 +54,83 @@ def _align(sorted_hdr, query_hdr, size):
     return i_c, hit
 
 
-def _same_term_counts(pay):
-    """Per-word adjusted same-term bigram count (bigram_freqs.py:48-101).
-
-    A run of k consecutive occurrences of the same term yields
-    ceil(k-1 adjacent pairs minus overlaps) — implemented exactly as the
-    reference: adjacents - ceil(consecutive_ones / 2).
-    """
-    import jax.numpy as jnp
-
-    overlap = pay & ((pay << 1) & jnp.uint32(int(LSB_MASK)))
-    adj = jax_popcount(overlap)
-    consec = jax_popcount(overlap & (overlap << 1) & jnp.uint32(int(LSB_MASK)))
-    adjusted = adj - (-(consec // jnp.int32(-2)))  # == adj - ceil(consec/2)
-    return adjusted.astype(jnp.float32), overlap
-
-
 def jax_popcount(x):
     import jax
 
     return jax.lax.population_count(x).astype(jax.numpy.int32)
 
 
-def _bigram_step_impl(lhs, rhs, *, cont_side, num_docs):
-    """One bigram step.  Inputs are sanitized posting/continuation words.
+def _same_term_counts(pay):
+    """Per-word adjusted same-term bigram count (bigram_freqs.py:48-101)."""
+    import jax.numpy as jnp
 
-    Returns (dense per-doc counts f32[num_docs], continuation words shaped
-    like ``rhs`` when cont_side=="rhs", like ``lhs`` when "lhs").
+    lsb = jnp.uint32(int(LSB_MASK))
+    overlap = pay & ((pay << 1) & lsb)
+    adj = jax_popcount(overlap)
+    consec = jax_popcount(overlap & (overlap << 1) & lsb)
+    adjusted = adj - (-(consec // jnp.int32(-2)))  # == adj - ceil(consec/2)
+    return adjusted.astype(jnp.float32), overlap
+
+
+def _bigram_step(lhs, rhs, cont_side, num_docs):
+    """One bigram step on sanitized posting/continuation words.
+
+    Returns (dense per-doc counts f32[num_docs], continuation shaped like
+    ``rhs`` when cont_side=="rhs", like ``lhs`` when "lhs").
     """
     import jax.numpy as jnp
 
     pad = jnp.uint64(int(PAD_WORD))
-    lhs_hdr = _hdrs(lhs)
-    rhs_hdr = _hdrs(rhs)
-    lhs_valid = lhs != pad
-    rhs_valid = rhs != pad
-    lhs_pay = _pay32(lhs)
-    rhs_pay = _pay32(rhs)
+    lhs_hdr = lhs >> jnp.uint64(LSB_BITS)
+    rhs_hdr = rhs >> jnp.uint64(LSB_BITS)
 
     # Same-term detection (bigram_freqs.py:139): identical posting contents.
-    # Distinct static shapes can never be the identical array.
     if lhs.shape == rhs.shape:
         same = jnp.all(lhs == rhs)
     else:
         same = jnp.asarray(False)
 
     if cont_side == "rhs":
-        base, base_hdr, base_valid, base_pay = rhs, rhs_hdr, rhs_valid, rhs_pay
-        other, other_hdr, other_sz = lhs, lhs_hdr, lhs.shape[0]
-        # inner: other word with identical header
-        i, hit = _align(other_hdr, base_hdr, other_sz)
-        o_pay = jnp.where(hit & base_valid, _pay32(other[i]), jnp.uint32(0))
+        base, base_hdr = rhs, rhs_hdr
+        other, other_hdr = lhs, lhs_hdr
+        adj_probe = base_hdr - jnp.uint64(1)
+    else:
+        base, base_hdr = lhs, lhs_hdr
+        other, other_hdr = rhs, rhs_hdr
+        adj_probe = base_hdr + jnp.uint64(1)
+
+    base_valid = base != pad
+    base_pay = _pay32(base)
+    other_sz = other.shape[0]
+
+    i, hit = _align(other_hdr, base_hdr, other_sz)
+    o_pay = jnp.where(hit & base_valid, _pay32(other[i]), jnp.uint32(0))
+    j, adj_hit = _align(other_hdr, adj_probe, other_sz)
+    o_adj_pay = _pay32(other[j])
+
+    if cont_side == "rhs":
         overlap = o_pay & (base_pay >> 1)
-        # adjacent: other word one block earlier, its top bit meets our bit 0
-        j, adj_hit = _align(other_hdr, base_hdr - jnp.uint64(1), other_sz)
         adj = (
-            adj_hit
-            & base_valid
-            & (((_pay32(other[j]) >> np.uint32(LSB_BITS - 1)) & 1) == 1)
+            adj_hit & base_valid
+            & (((o_adj_pay >> np.uint32(LSB_BITS - 1)) & 1) == 1)
             & ((base_pay & 1) == 1)
         )
-        inner_counts = jax_popcount(overlap).astype(jnp.float32)
-        cont_bits_norm = ((overlap << 1) & jnp.uint32(int(LSB_MASK)))
+        cont_bits_norm = (overlap << 1) & jnp.uint32(int(LSB_MASK))
     else:
-        base, base_hdr, base_valid, base_pay = lhs, lhs_hdr, lhs_valid, lhs_pay
-        other, other_hdr, other_sz = rhs, rhs_hdr, rhs.shape[0]
-        i, hit = _align(other_hdr, base_hdr, other_sz)
-        o_pay = jnp.where(hit & base_valid, _pay32(other[i]), jnp.uint32(0))
         overlap = base_pay & (o_pay >> 1)
-        # adjacent: rhs word one block later, our top bit meets its bit 0
-        j, adj_hit = _align(other_hdr, base_hdr + jnp.uint64(1), other_sz)
         adj = (
-            adj_hit
-            & base_valid
+            adj_hit & base_valid
             & (((base_pay >> np.uint32(LSB_BITS - 1)) & 1) == 1)
-            & ((_pay32(other[j]) & 1) == 1)
+            & ((o_adj_pay & 1) == 1)
         )
-        inner_counts = jax_popcount(overlap).astype(jnp.float32)
         cont_bits_norm = overlap  # match-begin bits stay in place
 
-    # Same-term variant (lhs == rhs identically): reference
-    # `_inner_bigram_same_term` (bigram_freqs.py:65-101).
+    inner_counts = jax_popcount(overlap).astype(jnp.float32)
+
+    # Same-term variant (reference _inner_bigram_same_term).
     st_counts, st_overlap = _same_term_counts(base_pay)
     if cont_side == "rhs":
-        st_cont_bits = st_overlap  # match-end bits, already in place
+        st_cont_bits = st_overlap
     else:
         st_cont_bits = base_pay & (base_pay >> 1)
 
@@ -152,7 +145,7 @@ def _bigram_step_impl(lhs, rhs, *, cont_side, num_docs):
     cont = (base & ~jnp.uint64(int(LSB_MASK))) | (cont_bits | adj_bit).astype(
         jnp.uint64
     )
-    cont = jnp.where(base_valid, cont, jnp.uint64(int(PAD_WORD)))
+    cont = jnp.where(base_valid, cont, pad)
 
     keys = jnp.where(
         base_valid, (base >> jnp.uint64(KEY_SHIFT)).astype(jnp.int32), 0
@@ -162,72 +155,6 @@ def _bigram_step_impl(lhs, rhs, *, cont_side, num_docs):
     return dense, cont
 
 
-_step_cache: dict = {}
-_slice_cache: dict = {}
-
-
-def _get_step(cont_side: str, num_docs: int):
-    import jax
-
-    key = (cont_side, num_docs)
-    fn = _step_cache.get(key)
-    if fn is None:
-        fn = jax.jit(partial(_bigram_step_impl, cont_side=cont_side, num_docs=num_docs))
-        _step_cache[key] = fn
-    return fn
-
-
-def _get_slice(bucket: int):
-    import jax
-
-    fn = _slice_cache.get(bucket)
-    if fn is None:
-        fn = jax.jit(partial(K.take_term_slice, bucket=bucket))
-        _slice_cache[bucket] = fn
-    return fn
-
-
-def _term_words(index: DeviceIndex, term_id: int, min_blk, max_blk):
-    off, n, bucket = index.term_span(term_id)
-    words, _ = _get_slice(bucket)(index.data, off, n, min_blk, max_blk)
-    return words, n
-
-
-def phrase_freqs_dense(
-    index: DeviceIndex,
-    term_ids: List[int],
-    min_posn: Optional[int] = None,
-    max_posn: Optional[int] = None,
-):
-    """Dense per-doc exact phrase frequencies (device float32[num_docs])."""
-    import jax.numpy as jnp
-
-    if len(term_ids) < 2:
-        raise ValueError("Must have at least two terms")
-    min_blk, max_blk = _window_blocks(min_posn, max_posn)
-    windowed = min_posn is not None or max_posn is not None
-    mb = (min_blk, max_blk) if windowed else (None, None)
-
-    slices = [_term_words(index, t, *mb) for t in term_ids]
-    lengths = [n for _, n in slices]
-    words = [w for w, _ in slices]
-
-    if min(lengths) == 0:
-        return jnp.zeros(index.corpus_size, dtype=jnp.float32)
-
-    # Direction planning, parity with compute_phrase_freqs
-    # (middle_out.py:154-168).
-    s = int(np.argmin(lengths))
-    n = len(term_ids)
-    if s <= 1:
-        return _chain(words, "l2r", index.corpus_size)
-    if s >= n - 2:
-        return _chain(words, "r2l", index.corpus_size)
-    left = _chain(words[:s], "l2r", index.corpus_size)
-    right = _chain(words[s:], "r2l", index.corpus_size)
-    return jnp.minimum(left, right)
-
-
 def _chain(words: List, direction: str, num_docs: int):
     import jax.numpy as jnp
 
@@ -235,13 +162,87 @@ def _chain(words: List, direction: str, num_docs: int):
     if direction == "l2r":
         carry = words[0]
         for nxt in words[1:]:
-            step = _get_step("rhs", num_docs)
-            dense, carry = step(carry, nxt)
+            dense, carry = _bigram_step(carry, nxt, "rhs", num_docs)
             acc = dense if acc is None else jnp.minimum(acc, dense)
     else:
         carry = words[-1]
         for prv in reversed(words[:-1]):
-            step = _get_step("lhs", num_docs)
-            dense, carry = step(prv, carry)
+            dense, carry = _bigram_step(prv, carry, "lhs", num_docs)
             acc = dense if acc is None else jnp.minimum(acc, dense)
     return acc
+
+
+def _phrase_impl(data, offs, ns, doc_lens, idf, avgdl, min_blk, max_blk,
+                 *, buckets, split, num_docs, windowed, kind, k1, b):
+    """Whole phrase query — slices, chain(s), min, similarity — one jit."""
+    import jax.numpy as jnp
+
+    mb = (min_blk, max_blk) if windowed else (None, None)
+    words = [
+        K.take_term_slice(data, offs[i], ns[i], *mb, bucket=buckets[i])[0]
+        for i in range(len(buckets))
+    ]
+    # Direction planning, parity with compute_phrase_freqs
+    # (middle_out.py:154-168).
+    n = len(words)
+    if split <= 1:
+        freqs = _chain(words, "l2r", num_docs)
+    elif split >= n - 2:
+        freqs = _chain(words, "r2l", num_docs)
+    else:
+        left = _chain(words[:split], "l2r", num_docs)
+        right = _chain(words[split:], "r2l", num_docs)
+        freqs = jnp.minimum(left, right)
+    return apply_similarity_device(kind, freqs, doc_lens, idf, avgdl, k1, b)
+
+
+_phrase_cache: dict = {}
+
+
+def phrase_freqs_dense(index: DeviceIndex, term_ids: List[int],
+                       min_posn: Optional[int] = None,
+                       max_posn: Optional[int] = None,
+                       kind: str = "none", k1: float = 1.2, b: float = 0.75,
+                       idf: Optional[float] = None):
+    """Dense per-doc exact phrase frequencies or scores (one dispatch)."""
+    import jax.numpy as jnp
+
+    if len(term_ids) < 2:
+        raise ValueError("Must have at least two terms")
+    min_blk, max_blk = _window_blocks(min_posn, max_posn)
+    windowed = min_posn is not None or max_posn is not None
+
+    spans = [index.term_span(t) for t in term_ids]
+    lengths = [s[1] for s in spans]
+    if min(lengths) == 0:
+        return jnp.zeros(index.corpus_size, dtype=jnp.float32)
+    buckets = tuple(s[2] for s in spans)
+    split = int(np.argmin(lengths))
+    if idf is None:
+        idf = host_idf(kind, [index.doc_freqs[t] for t in term_ids],
+                       index.corpus_size, index.avg_doc_length)
+
+    key = ("phrase", index.corpus_size, buckets,
+           split if 1 < split < len(term_ids) - 2
+           else ("l2r" if split <= 1 else "r2l"), windowed, kind, k1, b)
+    fn = _phrase_cache.get(key)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(
+            partial(
+                _phrase_impl,
+                buckets=buckets,
+                split=split,
+                num_docs=index.corpus_size,
+                windowed=windowed,
+                kind=kind,
+                k1=k1,
+                b=b,
+            )
+        )
+        _phrase_cache[key] = fn
+    offs = tuple(np.int64(s[0]) for s in spans)
+    ns = tuple(np.int64(s[1]) for s in spans)
+    return fn(index.data, offs, ns, index.doc_lens, np.float32(idf),
+              np.float32(max(index.avg_doc_length, 1e-38)), min_blk, max_blk)

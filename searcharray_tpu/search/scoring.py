@@ -1,10 +1,15 @@
-"""Single-term stats and BM25 scoring kernels.
+"""Single-term stats and fused BM25 scoring kernels.
 
 Replaces the reference call stack `termfreqs -> popcount64_reduce ->
 as_dense -> bm25_score` (`postings.py:607-636`, `popcount.pyx:271`,
-`scatter_assign.h:6`, `bm25.pyx:28`) with one fused XLA computation per
-term: gather slice -> payload popcount -> segment scatter-add into the
-dense corpus vector -> (optionally) BM25.
+`scatter_assign.h:6`, `bm25.pyx:28`) with ONE fused XLA computation per
+query: gather slice -> payload popcount -> segment scatter-add into the
+dense corpus vector -> similarity.  One dispatch per query matters: on a
+tunneled TPU a device round-trip costs ~30 ms, so everything between the
+posting buffer and the final score vector lives in a single jit.
+
+Docfreqs are precomputed host-side at build (builder.compute_doc_freqs), so
+idf needs no device sync.
 """
 from __future__ import annotations
 
@@ -15,50 +20,82 @@ import numpy as np
 
 from searcharray_tpu.index.device import DeviceIndex
 from searcharray_tpu.ops import kernels as K
-from searcharray_tpu.ops.encoding import LSB_BITS, MAX_POSN
+from searcharray_tpu.ops.encoding import LSB_BITS
 
 
-def _jit(fn, **kw):
-    import jax
-
-    return jax.jit(fn, **kw)
-
-
-def _term_stats_impl(data, off, n, min_blk, max_blk, *, bucket, num_docs):
+# ---------------------------------------------------------------------------
+# similarity fusion
+# ---------------------------------------------------------------------------
+def apply_similarity_device(kind, tfs, doc_lens, idf, avgdl, k1, b):
+    """Similarity math on device arrays; `kind` is a static string."""
     import jax.numpy as jnp
 
-    words, valid = K.take_term_slice(data, off, n, min_blk, max_blk, bucket=bucket)
-    keys = K.word_keys(words)
-    keys = jnp.where(valid, keys, 0)
+    k1f = np.float32(k1)
+    bf = np.float32(b)
+    if kind == "none":
+        return tfs
+    norm = k1f * ((np.float32(1.0) - bf) + bf * (doc_lens / avgdl))
+    if kind == "bm25":
+        return (tfs / (tfs + norm)) * idf
+    if kind == "bm25_legacy":
+        return idf * ((tfs * (k1f + np.float32(1.0))) / (tfs + norm))
+    if kind == "bm25_impact":
+        return tfs / (tfs + norm)
+    if kind == "classic":
+        # idf passed in is the classic idf; norm unused
+        return idf * jnp.sqrt(tfs) / jnp.sqrt(doc_lens)
+    raise ValueError(f"unknown similarity kind {kind}")
+
+
+def host_idf(kind, dfs, num_docs, avgdl) -> np.float32:
+    """Query-level idf scalar, float64 accumulate then float32 narrow
+    (parity: similarity.py:19-21 + bm25.pyx C-float cast)."""
+    dfs64 = np.asarray(dfs, dtype=np.float64)
+    if kind in ("bm25", "bm25_legacy"):
+        return np.float32(np.sum(np.log1p((num_docs - dfs64 + 0.5) / (dfs64 + 0.5))))
+    if kind == "classic":
+        sum_dfs = np.sum(dfs64, axis=0)
+        return np.float32(np.log((num_docs + 1) / (sum_dfs + 1)) + 1.0)
+    return np.float32(0.0)
+
+
+# ---------------------------------------------------------------------------
+# term stats
+# ---------------------------------------------------------------------------
+def _term_scores_impl(data, off, n, min_blk, max_blk, doc_lens, idf, avgdl,
+                      *, bucket, num_docs, kind, k1, b):
+    import jax.numpy as jnp
+
+    words, valid = K.take_term_slice(data, off, n, min_blk, max_blk,
+                                     bucket=bucket)
+    keys = jnp.where(valid, K.word_keys(words), 0)
     pops = K.payload_popcount(words).astype(jnp.float32)
     pops = jnp.where(valid, pops, 0.0)
     tfs = jnp.zeros(num_docs, dtype=jnp.float32).at[keys].add(pops)
-    # docfreq counts distinct keys among *original* (unwindowed) words.
-    newdoc = K.segment_new_doc(keys, valid)
-    df = jnp.sum(newdoc.astype(jnp.int32))
-    return tfs, df
+    return apply_similarity_device(kind, tfs, doc_lens, idf, avgdl, k1, b)
 
 
-_term_stats_cache: dict = {}
+_kernel_cache: dict = {}
 
 
-def term_stats(
-    index: DeviceIndex,
-    term_id: int,
-    min_posn: Optional[int] = None,
-    max_posn: Optional[int] = None,
-):
-    """Dense float32 term freqs over the whole corpus + docfreq (device)."""
-    off, n, bucket = index.term_span(term_id)
-    min_blk, max_blk = _window_blocks(min_posn, max_posn)
-    key = (bucket, index.corpus_size, id(type(index)))
-    fn = _term_stats_cache.get(key)
+def _get_fused(dev: DeviceIndex, bucket: int, kind: str, k1: float, b: float):
+    import jax
+
+    key = ("term", dev.corpus_size, bucket, kind, k1, b)
+    fn = _kernel_cache.get(key)
     if fn is None:
-        fn = _jit(
-            partial(_term_stats_impl, bucket=bucket, num_docs=index.corpus_size)
+        fn = jax.jit(
+            partial(
+                _term_scores_impl,
+                bucket=bucket,
+                num_docs=dev.corpus_size,
+                kind=kind,
+                k1=k1,
+                b=b,
+            )
         )
-        _term_stats_cache[key] = fn
-    return fn(index.data, off, n, min_blk, max_blk)
+        _kernel_cache[key] = fn
+    return fn
 
 
 def _window_blocks(min_posn, max_posn) -> Tuple[int, int]:
@@ -79,23 +116,29 @@ def _window_blocks(min_posn, max_posn) -> Tuple[int, int]:
 
 
 def docfreq(index: DeviceIndex, term_id: int) -> int:
-    """Number of documents containing the term (host int, cached)."""
-    cached = index._df_cache.get(term_id)
-    if cached is not None:
-        return cached
-    _, df = term_stats(index, term_id)
-    df = int(df)
-    index._df_cache[term_id] = df
-    return df
+    """Number of documents containing the term (host table lookup)."""
+    return int(index.doc_freqs[term_id])
 
 
-def termfreqs_dense(
-    index: DeviceIndex,
-    term_id: int,
-    min_posn: Optional[int] = None,
-    max_posn: Optional[int] = None,
-):
-    tfs, df = term_stats(index, term_id, min_posn, max_posn)
-    if min_posn is None and max_posn is None and term_id not in index._df_cache:
-        index._df_cache[term_id] = int(df)
-    return tfs
+def termfreqs_dense(index: DeviceIndex, term_id: int,
+                    min_posn: Optional[int] = None,
+                    max_posn: Optional[int] = None):
+    """Dense float32 term freqs over the whole corpus (device, 1 dispatch)."""
+    return score_term_dense(index, term_id, kind="none",
+                            min_posn=min_posn, max_posn=max_posn)
+
+
+def score_term_dense(index: DeviceIndex, term_id: int, kind: str = "bm25",
+                     k1: float = 1.2, b: float = 0.75,
+                     min_posn: Optional[int] = None,
+                     max_posn: Optional[int] = None,
+                     idf: Optional[float] = None):
+    """Fused tf+similarity for one term — a single device dispatch."""
+    off, n, bucket = index.term_span(term_id)
+    min_blk, max_blk = _window_blocks(min_posn, max_posn)
+    if idf is None:
+        idf = host_idf(kind, [docfreq(index, term_id)], index.corpus_size,
+                       index.avg_doc_length)
+    fn = _get_fused(index, bucket, kind, k1, b)
+    return fn(index.data, off, n, min_blk, max_blk, index.doc_lens,
+              np.float32(idf), np.float32(max(index.avg_doc_length, 1e-38)))

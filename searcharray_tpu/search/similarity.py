@@ -53,6 +53,7 @@ def bm25_similarity(k1: float = 1.2, b: float = 0.75) -> Similarity:
         denom = tf + k1f * ((np.float32(1.0) - bf) + bf * (dl / avg))
         return (tf / denom) * idf
 
+    bm25._fused = ("bm25", k1, b)
     return bm25
 
 
@@ -72,6 +73,7 @@ def bm25_legacy_similarity(k1: float = 1.2, b: float = 0.75) -> Similarity:
         )
         return idf * (num / denom)
 
+    bm25._fused = ("bm25_legacy", k1, b)
     return bm25
 
 
@@ -90,6 +92,7 @@ def bm25_impact(k1: float = 1.2, b: float = 0.75) -> Similarity:
             * (np.float32(1.0 - b) + np.float32(b) * (dl / np.float32(avg_doc_lens)))
         )
 
+    bm25._fused = ("bm25_impact", k1, b)
     return bm25
 
 
@@ -104,6 +107,7 @@ def classic_similarity() -> Similarity:
         tf = xp.sqrt(term_freqs.astype(xp.float32))
         return idf * tf * length_norm
 
+    classic._fused = ("classic", 1.2, 0.75)
     return classic
 
 

@@ -40,16 +40,28 @@ from typing import List, Optional
 import numpy as np
 
 from searcharray_tpu.index.device import DeviceIndex
+from searcharray_tpu.ops import kernels as K
 from searcharray_tpu.ops.encoding import KEY_SHIFT, LSB_BITS, LSB_MASK, PAD_WORD
-from searcharray_tpu.search.phrase import _get_slice
-from searcharray_tpu.search.scoring import _window_blocks
+from searcharray_tpu.search.scoring import (
+    _window_blocks,
+    apply_similarity_device,
+    host_idf,
+)
 
 _BLK_FIELD = (1 << 18) - 1  # block bits within the 46-bit header
 
 
-def _span_impl(anchor_words, *term_words, mults, w, C, num_docs):
+def _span_impl(data, offs, ns, doc_lens, idf, avgdl, min_blk, max_blk,
+               *, buckets, anchor_i, mults, w, C, num_docs, windowed,
+               kind, k1, b):
     import jax.numpy as jnp
 
+    mb = (min_blk, max_blk) if windowed else (None, None)
+    term_words = [
+        K.take_term_slice(data, offs[i], ns[i], *mb, bucket=buckets[i])[0]
+        for i in range(len(buckets))
+    ]
+    anchor_words = term_words[anchor_i]
     T = len(term_words)
     A = anchor_words.shape[0]
     lanes_n = 2 * C + 1
@@ -106,7 +118,8 @@ def _span_impl(anchor_words, *term_words, mults, w, C, num_docs):
     keys = jnp.where(
         a_valid, (anchor_words >> jnp.uint64(KEY_SHIFT)).astype(jnp.int32), 0
     )
-    return jnp.zeros(num_docs, dtype=jnp.float32).at[keys].add(counts)
+    freqs = jnp.zeros(num_docs, dtype=jnp.float32).at[keys].add(counts)
+    return apply_similarity_device(kind, freqs, doc_lens, idf, avgdl, k1, b)
 
 
 _span_cache: dict = {}
@@ -118,15 +131,16 @@ def span_freqs_dense(
     slop: int,
     min_posn: Optional[int] = None,
     max_posn: Optional[int] = None,
+    kind: str = "none", k1: float = 1.2, b: float = 0.75,
+    idf: Optional[float] = None,
 ):
-    """Dense per-doc slop-phrase frequencies (device float32[num_docs])."""
+    """Dense per-doc slop-phrase frequencies or scores (one dispatch)."""
     import jax
 
     if len(term_ids) < 2:
         raise ValueError("Must have at least two terms")
     min_blk, max_blk = _window_blocks(min_posn, max_posn)
     windowed = min_posn is not None or max_posn is not None
-    mb = (min_blk, max_blk) if windowed else (None, None)
 
     n = len(term_ids)
     w = n + slop - 1
@@ -148,31 +162,32 @@ def span_freqs_dense(
         return jnp.zeros(index.corpus_size, dtype=jnp.float32)
 
     anchor_i = int(np.argmin([s[1] for s in spans]))
-    words = []
-    for off, nw, bucket in spans:
-        tw, _ = _get_slice(bucket)(index.data, off, nw, *mb)
-        words.append(tw)
-    anchor = words[anchor_i]
+    buckets = tuple(s[2] for s in spans)
+    if idf is None:
+        idf = host_idf(kind, [index.doc_freqs[t] for t in term_ids],
+                       index.corpus_size, index.avg_doc_length)
 
-    key = (
-        w,
-        C,
-        tuple(mults),
-        anchor.shape[0],
-        tuple(x.shape[0] for x in words),
-        anchor_i,
-        index.corpus_size,
-    )
+    key = ("span", index.corpus_size, w, C, tuple(mults), buckets, anchor_i,
+           windowed, kind, k1, b)
     fn = _span_cache.get(key)
     if fn is None:
         fn = jax.jit(
             partial(
                 _span_impl,
+                buckets=buckets,
+                anchor_i=anchor_i,
                 mults=tuple(mults),
                 w=w,
                 C=C,
                 num_docs=index.corpus_size,
+                windowed=windowed,
+                kind=kind,
+                k1=k1,
+                b=b,
             )
         )
         _span_cache[key] = fn
-    return fn(anchor, *words)
+    offs = tuple(np.int64(s[0]) for s in spans)
+    ns = tuple(np.int64(s[1]) for s in spans)
+    return fn(index.data, offs, ns, index.doc_lens, np.float32(idf),
+              np.float32(max(index.avg_doc_length, 1e-38)), min_blk, max_blk)

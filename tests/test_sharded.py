@@ -1,0 +1,76 @@
+"""Multi-chip sharding: sharded scores must equal the single-chip path."""
+import numpy as np
+import pytest
+
+from searcharray_tpu import SearchArray
+from searcharray_tpu.index.builder import build_index
+from searcharray_tpu.parallel.sharded import ShardedIndex, default_mesh
+
+
+def make_corpus(n=400, seed=0):
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    return [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+        for _ in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus()
+
+
+@pytest.fixture(scope="module")
+def single(corpus):
+    return SearchArray.index(corpus)
+
+
+@pytest.fixture(scope="module")
+def sharded(corpus):
+    built = build_index(corpus)
+    return ShardedIndex.build(built, mesh=default_mesh())
+
+
+def test_mesh_uses_all_devices(sharded):
+    import jax
+
+    assert sharded.mesh.devices.size == len(jax.devices())
+
+
+def test_single_term_parity(single, sharded, corpus):
+    got = np.asarray(sharded.score_queries([["alpha"]]))[0]
+    want = single.score("alpha")
+    assert got.shape == want.shape
+    assert np.allclose(got, want, rtol=1e-5)
+
+
+def test_multi_term_or_parity(single, sharded):
+    got = np.asarray(sharded.score_queries([["alpha", "gamma", "zeta"]]))[0]
+    want = (
+        single.score("alpha") + single.score("gamma") + single.score("zeta")
+    )
+    assert np.allclose(got, want, rtol=1e-5)
+
+
+def test_query_batch_parity(single, sharded):
+    queries = [["alpha"], ["beta", "gamma"], ["missingterm"], ["eta", "eta"]]
+    got = np.asarray(sharded.score_queries(queries))
+    assert got.shape[0] == 4
+    assert np.allclose(got[0], single.score("alpha"), rtol=1e-5)
+    assert np.allclose(
+        got[1], single.score("beta") + single.score("gamma"), rtol=1e-5
+    )
+    assert np.all(got[2] == 0)
+    assert np.allclose(got[3], 2 * single.score("eta"), rtol=1e-5)
+
+
+def test_uneven_corpus_sizes(corpus):
+    # corpus size not divisible by shard count
+    docs = corpus[:397]
+    built = build_index(docs)
+    sharded = ShardedIndex.build(built)
+    single = SearchArray.index(docs)
+    got = np.asarray(sharded.score_queries([["delta"]]))[0]
+    assert got.shape == (397,)
+    assert np.allclose(got, single.score("delta"), rtol=1e-5)
