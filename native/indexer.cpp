@@ -1,0 +1,163 @@
+// Native host-side index-build runtime.
+//
+// TPU-native replacement for the reference's host hot loops: the per-token
+// Python tokenize/term-dict loop (`/root/reference/searcharray/indexing.py:64-99`)
+// and the O(T log T) stable argsort inversion (`indexing.py:102-115`).
+// Device-side compute (popcount/intersect/BM25 etc.) lives in XLA/Pallas;
+// this library only turns raw text into sorted (term, doc, posn) columns at
+// memory speed.
+//
+// Exposed C ABI (ctypes):
+//   sa_tokenize_corpus : text -> term_ids/doc_ids(implicit)/posns + vocab
+//   sa_sort_by_term    : stable counting-sort permutation by term id
+//
+// Build: ninja/make via setup_native.py (g++ -O3 -march=native -fPIC).
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <deque>
+#include <string>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Corpus {
+  std::vector<int32_t> term_ids;   // one per token
+  std::vector<int32_t> doc_lens;   // tokens per doc (pre-truncation clamp)
+  std::vector<char> vocab_chars;   // concatenated term bytes
+  std::vector<int64_t> vocab_offsets;  // V+1 offsets into vocab_chars
+};
+
+struct TokenizerOpts {
+  bool lowercase;
+  bool strip_punct;
+  int32_t max_posn;  // truncate docs to this many tokens (0 = no limit)
+};
+
+inline bool is_ws(unsigned char c) {
+  return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+         c == '\v';
+}
+
+inline bool is_punct_ascii(unsigned char c) {
+  return (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+         (c >= '[' && c <= '`') || (c >= '{' && c <= '~');
+}
+
+// First-occurrence-ordered string interner (reference TermDict semantics,
+// `term_dict.py:16-21`).
+class Interner {
+ public:
+  int32_t intern(std::string_view tok) {
+    auto it = map_.find(tok);
+    if (it != map_.end()) return it->second;
+    int32_t id = static_cast<int32_t>(offsets_.size() - 1);
+    chars_.insert(chars_.end(), tok.begin(), tok.end());
+    offsets_.push_back(static_cast<int64_t>(chars_.size()));
+    // the key must point at stable storage: rebuild view into chars_ later;
+    // store in arena-backed string list
+    arena_.emplace_back(tok);
+    map_.emplace(arena_.back(), id);
+    return id;
+  }
+  std::vector<char> chars_;
+  std::vector<int64_t> offsets_{0};
+
+ private:
+  // deque: stable element addresses so string_view keys never dangle
+  std::deque<std::string> arena_;
+  std::unordered_map<std::string_view, int32_t> map_;
+};
+
+Corpus* tokenize(const char* buf, const int64_t* doc_offsets, int64_t n_docs,
+                 TokenizerOpts opts) {
+  auto* out = new Corpus();
+  Interner interner;
+  out->doc_lens.resize(n_docs);
+
+  std::string scratch;
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const char* beg = buf + doc_offsets[d];
+    const char* end = buf + doc_offsets[d + 1];
+    int32_t count = 0;
+    const char* p = beg;
+    while (p < end) {
+      while (p < end && (is_ws(*p) ||
+                         (opts.strip_punct && is_punct_ascii(*p))))
+        ++p;
+      const char* tok_beg = p;
+      while (p < end && !is_ws(*p) &&
+             !(opts.strip_punct && is_punct_ascii(*p)))
+        ++p;
+      if (p == tok_beg) continue;
+      if (opts.max_posn > 0 && count >= opts.max_posn) continue;
+      std::string_view tok(tok_beg, static_cast<size_t>(p - tok_beg));
+      if (opts.lowercase) {
+        scratch.assign(tok);
+        for (auto& c : scratch)
+          if (c >= 'A' && c <= 'Z') c = static_cast<char>(c - 'A' + 'a');
+        out->term_ids.push_back(interner.intern(scratch));
+      } else {
+        out->term_ids.push_back(interner.intern(tok));
+      }
+      ++count;
+    }
+    out->doc_lens[d] = count;
+  }
+  out->vocab_chars = std::move(interner.chars_);
+  out->vocab_offsets = std::move(interner.offsets_);
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize a corpus packed as one buffer + per-doc offsets (n_docs+1).
+// Returns an opaque handle; query sizes then copy out and free.
+void* sa_tokenize_corpus(const char* buf, const int64_t* doc_offsets,
+                         int64_t n_docs, int32_t lowercase,
+                         int32_t strip_punct, int32_t max_posn) {
+  TokenizerOpts opts{lowercase != 0, strip_punct != 0, max_posn};
+  return tokenize(buf, doc_offsets, n_docs, opts);
+}
+
+int64_t sa_corpus_num_tokens(void* h) {
+  return static_cast<int64_t>(static_cast<Corpus*>(h)->term_ids.size());
+}
+int64_t sa_corpus_num_terms(void* h) {
+  return static_cast<int64_t>(
+      static_cast<Corpus*>(h)->vocab_offsets.size() - 1);
+}
+int64_t sa_corpus_vocab_bytes(void* h) {
+  return static_cast<int64_t>(static_cast<Corpus*>(h)->vocab_chars.size());
+}
+
+void sa_corpus_export(void* h, int32_t* term_ids, int32_t* doc_lens,
+                      char* vocab_chars, int64_t* vocab_offsets) {
+  auto* c = static_cast<Corpus*>(h);
+  std::memcpy(term_ids, c->term_ids.data(),
+              c->term_ids.size() * sizeof(int32_t));
+  std::memcpy(doc_lens, c->doc_lens.data(),
+              c->doc_lens.size() * sizeof(int32_t));
+  std::memcpy(vocab_chars, c->vocab_chars.data(), c->vocab_chars.size());
+  std::memcpy(vocab_offsets, c->vocab_offsets.data(),
+              c->vocab_offsets.size() * sizeof(int64_t));
+}
+
+void sa_corpus_free(void* h) { delete static_cast<Corpus*>(h); }
+
+// Stable counting sort by term id: writes the permutation such that
+// term_ids[perm] is grouped by term with original (doc, posn) order kept.
+// O(n + V), replacing numpy's O(n log n) stable argsort.
+void sa_sort_by_term(const int32_t* term_ids, int64_t n, int32_t num_terms,
+                     int64_t* perm) {
+  std::vector<int64_t> counts(static_cast<size_t>(num_terms) + 1, 0);
+  for (int64_t i = 0; i < n; ++i) counts[term_ids[i] + 1]++;
+  for (int32_t t = 0; t < num_terms; ++t) counts[t + 1] += counts[t];
+  for (int64_t i = 0; i < n; ++i) perm[counts[term_ids[i]]++] = i;
+}
+
+}  // extern "C"

@@ -13,6 +13,21 @@ import jax as _jax
 # alignment use 64-bit integers.
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: query-kernel shapes recur across processes
+# and XLA compiles are expensive (seconds each on tunneled TPUs).
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "SEARCHARRAY_TPU_CACHE",
+    _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from searcharray_tpu.pandas_ext.array import SearchArray, Terms, TermsDtype  # noqa: E402,F401
 from searcharray_tpu.utils.topk import SetOfResults  # noqa: E402,F401
 from searcharray_tpu.solr import edismax  # noqa: E402,F401

@@ -33,6 +33,23 @@ def ws_tokenizer(string):
     return string.split()
 
 
+# Tokenizers carrying a native spec run in the C++ runtime during batch
+# indexing (native/indexer.cpp); spec = (lowercase, strip_punct).
+ws_tokenizer._native_spec = (False, False)
+
+
+def std_tokenizer(string):
+    """Lowercasing, punctuation-stripping tokenizer (native-accelerated)."""
+    if pd.isna(string):
+        return []
+    import re
+
+    return re.sub(r"[!-/:-@\[-`{-~]", " ", string).lower().split()
+
+
+std_tokenizer._native_spec = (True, True)
+
+
 def _concat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Indices [s0..s0+l0) ++ [s1..s1+l1) ++ ... without a Python loop."""
     total = int(lens.sum())
@@ -159,6 +176,47 @@ class _BatchResult:
     dt_rows: np.ndarray       # doc->term CSR rows
 
 
+def _tokenize_docs_python(docs, tokenizer, vocab, truncate):
+    token_lists = [tokenizer(d) for d in docs]
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                       count=len(token_lists))
+    if np.any(lens > enc.MAX_POSN):
+        if not truncate:
+            raise ValueError(f"Document length exceeds maximum of {enc.MAX_POSN}")
+        token_lists = [t[: enc.MAX_POSN] for t in token_lists]
+        lens = np.minimum(lens, enc.MAX_POSN)
+    flat: List = []
+    for t in token_lists:
+        flat.extend(t)
+    if not flat:
+        return np.empty(0, dtype=np.int64), lens
+    local_ids, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    global_of_local = vocab.add_batch(uniques)
+    return global_of_local[local_ids], lens
+
+
+def _tokenize_docs_native(docs, spec, vocab, truncate):
+    """C++ tokenizer path (native/indexer.cpp) for spec'd tokenizers."""
+    from searcharray_tpu.index import native as native_mod
+
+    lowercase, strip_punct = spec
+    res = native_mod.tokenize_corpus(
+        [d if isinstance(d, str) and d == d else "" for d in docs],
+        lowercase=lowercase, strip_punct=strip_punct,
+        max_posn=enc.MAX_POSN if truncate else 0,
+    )
+    if res is None:
+        return None
+    local_ids, lens32, local_vocab = res
+    lens = lens32.astype(np.int64)
+    if not truncate and np.any(lens > enc.MAX_POSN):
+        raise ValueError(f"Document length exceeds maximum of {enc.MAX_POSN}")
+    if len(local_ids) == 0:
+        return np.empty(0, dtype=np.int64), lens
+    global_of_local = vocab.add_batch(local_vocab)
+    return global_of_local[local_ids], lens
+
+
 def _tokenize_batch(
     docs: List,
     tokenizer: Callable,
@@ -166,18 +224,17 @@ def _tokenize_batch(
     start_doc: int,
     truncate: bool,
 ) -> _BatchResult:
-    token_lists = [tokenizer(d) for d in docs]
-    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
-    if np.any(lens > enc.MAX_POSN):
-        if not truncate:
-            raise ValueError(f"Document length exceeds maximum of {enc.MAX_POSN}")
-        token_lists = [t[: enc.MAX_POSN] for t in token_lists]
-        lens = np.minimum(lens, enc.MAX_POSN)
-
-    flat: List = []
-    for t in token_lists:
-        flat.extend(t)
-    total = len(flat)
+    spec = getattr(tokenizer, "_native_spec", None)
+    result = None
+    if spec is not None:
+        try:
+            result = _tokenize_docs_native(docs, spec, vocab, truncate)
+        except UnicodeDecodeError:
+            result = None
+    if result is None:
+        result = _tokenize_docs_python(docs, tokenizer, vocab, truncate)
+    term_ids, lens = result
+    total = len(term_ids)
     doc_lens = lens.astype(np.float32)
 
     if total == 0:
@@ -190,11 +247,6 @@ def _tokenize_batch(
             dt_rows=np.zeros(len(docs) + 1, dtype=np.int64),
         )
 
-    local_ids, uniques = pd.factorize(np.asarray(flat, dtype=object))
-    # Vocabulary updates are guarded by the GIL on the unique terms only.
-    global_of_local = vocab.add_batch(uniques)
-    term_ids = global_of_local[local_ids]
-
     doc_ids = np.repeat(
         np.arange(start_doc, start_doc + len(docs), dtype=np.int64), lens
     )
@@ -202,7 +254,12 @@ def _tokenize_batch(
     posns = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
 
     # Term-major inversion; doc/posn order within a term is preserved.
-    order = np.argsort(term_ids, kind="stable")
+    # O(n + V) native counting sort when available, else stable argsort.
+    from searcharray_tpu.index import native as native_mod
+
+    order = native_mod.sort_by_term(term_ids, len(vocab))
+    if order is None:
+        order = np.argsort(term_ids, kind="stable")
     s_terms = term_ids[order]
     s_docs = doc_ids[order]
     s_posns = posns[order]

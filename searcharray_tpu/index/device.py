@@ -1,20 +1,28 @@
-"""Device-resident index: HBM postings buffer + scoring metadata.
+"""Device-resident index: HBM postings planes + scoring metadata.
 
-The CSR posting store is uploaded once as a single padded uint64 buffer;
-term lookup stays on host (vocab dict -> offset/length), kernels slice the
-buffer with ``lax.dynamic_slice`` at power-of-two bucket sizes so every
-query compiles against a small, reusable set of shapes.
+The CSR posting store is uploaded once as two parallel 32-bit planes —
+``hdr32`` (doc << blk_bits | block, int32) and ``pay32`` (18-bit position
+bitmap, uint32).  Same bytes/word as the uint64 wire format, but every
+device op is native 32-bit (u64 is emulated on TPU) and headers sort/compare
+as a single i32 key.  Term lookup stays on host (vocab dict ->
+offset/length); kernels slice the planes with ``lax.dynamic_slice`` at
+power-of-two bucket sizes so every query compiles against a small,
+reusable set of shapes.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
-from searcharray_tpu.index.builder import BuiltIndex, DocTermMatrix, TermPostings
+from searcharray_tpu.index.builder import BuiltIndex
 from searcharray_tpu.index.vocab import Vocabulary
-from searcharray_tpu.ops.encoding import PAD_WORD
-from searcharray_tpu.ops.kernels import bucket_of
+from searcharray_tpu.ops.kernels import (
+    PAD_HDR32,
+    blk_bits_for,
+    bucket_of,
+    compress_planes,
+)
 
 
 class DeviceIndex:
@@ -23,19 +31,25 @@ class DeviceIndex:
     def __init__(self, built: BuiltIndex):
         import jax.numpy as jnp
 
-        self.postings = built.postings          # host CSR (numpy)
+        self.postings = built.postings          # host CSR (numpy, uint64)
         self.doc_term = built.doc_term
         self.vocab: Vocabulary = built.vocab
         self.doc_lens_np = built.doc_lens
         self.avg_doc_length = built.avg_doc_length
         self.corpus_size = int(len(built.doc_lens))
+        self.doc_freqs = built.doc_freqs  # host int64[V], precomputed
 
         max_len = int(built.postings.lengths.max()) if built.postings.num_terms else 0
         self.max_bucket = bucket_of(max(1, max_len))
-        pad = np.full(self.max_bucket, PAD_WORD, dtype=np.uint64)
-        self.data = jnp.asarray(np.concatenate([built.postings.data, pad]))
+        max_doc_len = float(built.doc_lens.max()) if len(built.doc_lens) else 1
+        self.blk_bits = blk_bits_for(int(max_doc_len))
+
+        hdr, pay = compress_planes(built.postings.data, self.blk_bits)
+        pad_h = np.full(self.max_bucket, PAD_HDR32, dtype=np.int32)
+        pad_p = np.zeros(self.max_bucket, dtype=np.uint32)
+        self.hdrs = jnp.asarray(np.concatenate([hdr, pad_h]))
+        self.pays = jnp.asarray(np.concatenate([pay, pad_p]))
         self.doc_lens = jnp.asarray(built.doc_lens, dtype=jnp.float32)
-        self.doc_freqs = built.doc_freqs  # host int64[V], precomputed
 
     def term_span(self, term_id: int) -> Tuple[int, int, int]:
         """(offset, length, bucket) for a term's posting slice."""

@@ -1,0 +1,150 @@
+"""ctypes binding for the native (C++) index-build runtime.
+
+Compiles `native/indexer.cpp` on first use (g++ -O3) and caches the shared
+object next to the source.  Falls back silently if no compiler is present —
+the numpy builder path stays fully functional.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+_SRC = os.path.join(_REPO_ROOT, "native", "indexer.cpp")
+_SO = os.path.join(_REPO_ROOT, "native", "libsearcharray_native.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_lib_failed = False
+
+
+def _build_so() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+        _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            if not os.path.exists(_SRC) or not _build_so():
+                _lib_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _lib_failed = True
+            return None
+        lib.sa_tokenize_corpus.restype = ctypes.c_void_p
+        lib.sa_tokenize_corpus.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        for name in ("sa_corpus_num_tokens", "sa_corpus_num_terms",
+                     "sa_corpus_vocab_bytes"):
+            getattr(lib, name).restype = ctypes.c_int64
+            getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.sa_corpus_export.restype = None
+        lib.sa_corpus_export.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64),
+        ]
+        lib.sa_corpus_free.restype = None
+        lib.sa_corpus_free.argtypes = [ctypes.c_void_p]
+        lib.sa_sort_by_term.restype = None
+        lib.sa_sort_by_term.argtypes = [
+            np.ctypeslib.ndpointer(np.int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def tokenize_corpus(
+    docs: List[str],
+    lowercase: bool = False,
+    strip_punct: bool = False,
+    max_posn: int = 0,
+) -> Optional[Tuple[np.ndarray, np.ndarray, List[str]]]:
+    """Tokenize docs natively -> (term_ids int32, doc_lens int32, vocab).
+
+    Term ids are first-occurrence ordered (TermDict parity).  Returns None
+    when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    encoded = [d.encode("utf-8") if isinstance(d, str) else b"" for d in docs]
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    buf = b"".join(encoded)
+    handle = lib.sa_tokenize_corpus(
+        buf,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(encoded),
+        1 if lowercase else 0,
+        1 if strip_punct else 0,
+        max_posn,
+    )
+    try:
+        n_tok = lib.sa_corpus_num_tokens(handle)
+        n_terms = lib.sa_corpus_num_terms(handle)
+        n_vbytes = lib.sa_corpus_vocab_bytes(handle)
+        term_ids = np.empty(n_tok, dtype=np.int32)
+        doc_lens = np.empty(len(encoded), dtype=np.int32)
+        vocab_chars = ctypes.create_string_buffer(max(1, n_vbytes))
+        vocab_offsets = np.empty(n_terms + 1, dtype=np.int64)
+        lib.sa_corpus_export(handle, term_ids, doc_lens, vocab_chars,
+                             vocab_offsets)
+    finally:
+        lib.sa_corpus_free(handle)
+    raw = vocab_chars.raw[:n_vbytes]
+    vocab = [
+        raw[vocab_offsets[i]: vocab_offsets[i + 1]].decode("utf-8")
+        for i in range(n_terms)
+    ]
+    return term_ids, doc_lens, vocab
+
+
+def sort_by_term(term_ids: np.ndarray, num_terms: int) -> Optional[np.ndarray]:
+    """Stable grouping permutation by term id, O(n + V) counting sort."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    term_ids = np.ascontiguousarray(term_ids, dtype=np.int32)
+    perm = np.empty(len(term_ids), dtype=np.int64)
+    lib.sa_sort_by_term(term_ids, len(term_ids), num_terms, perm)
+    return perm

@@ -26,6 +26,57 @@ _PAD = jnp.uint64(int(PAD_WORD))
 
 MIN_BUCKET = 8
 
+# Sentinel header for padding in the 32-bit plane layout: larger than any
+# real compressed header (doc << blk_bits | blk), sorts last, payload 0.
+PAD_HDR32 = (1 << 31) - 16
+
+
+def compress_planes(words: np.ndarray, blk_bits: int):
+    """uint64 posting words -> (hdr32 int32, pay32 uint32) planes.
+
+    hdr32 = doc_key << blk_bits | block.  Device kernels are pure 32-bit:
+    no emulated 64-bit compares, and headers stay sortable as one i32 key.
+    Requires doc_key < 2**(31 - blk_bits) - 16 (shard more if not).
+    """
+    keys = (words >> np.uint64(64 - 28)).astype(np.int64)
+    blks = ((words >> np.uint64(MSB_SHIFT)) & np.uint64((1 << 18) - 1)).astype(
+        np.int64
+    )
+    hdr = (keys << blk_bits) | blks
+    if len(hdr) and int(hdr.max()) >= PAD_HDR32:
+        raise ValueError(
+            "corpus too large for 32-bit posting headers at this document "
+            "length; shard the doc axis (parallel.ShardedIndex)"
+        )
+    pay = (words & np.uint64(int(LSB_MASK))).astype(np.uint32)
+    return hdr.astype(np.int32), pay
+
+
+def blk_bits_for(max_doc_len: int) -> int:
+    """Static block-field width: enough for every block plus one spare slot
+    so hdr+1 adjacency probes never roll into the next document."""
+    max_blk = max(0, (max(1, int(max_doc_len)) - 1) // LSB_BITS)
+    bits = 1
+    while (1 << bits) < max_blk + 2:
+        bits += 1
+    return bits
+
+
+def take_term_planes(hdrs, pays, off, n, min_blk=None, max_blk=None,
+                     *, bucket, blk_bits):
+    """Slice bucket-sized (hdr32, pay32) planes with PAD-sanitized tail and
+    optional position-block windowing."""
+    h = jax.lax.dynamic_slice(hdrs, (off,), (bucket,))
+    p = jax.lax.dynamic_slice(pays, (off,), (bucket,))
+    valid = jnp.arange(bucket, dtype=jnp.int32) < n
+    h = jnp.where(valid, h, jnp.int32(PAD_HDR32))
+    p = jnp.where(valid, p, jnp.uint32(0))
+    if min_blk is not None:
+        blk = h & jnp.int32((1 << blk_bits) - 1)
+        in_win = (blk >= min_blk) & (blk <= max_blk)
+        p = jnp.where(in_win, p, jnp.uint32(0))
+    return h, p
+
 
 def bucket_of(n: int) -> int:
     """Power-of-two padded size for a posting slice of length n."""

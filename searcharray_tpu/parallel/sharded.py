@@ -25,7 +25,12 @@ import numpy as np
 
 from searcharray_tpu.index.builder import BuiltIndex
 from searcharray_tpu.ops import encoding as enc
-from searcharray_tpu.ops.kernels import bucket_of
+from searcharray_tpu.ops.kernels import (
+    PAD_HDR32,
+    blk_bits_for,
+    bucket_of,
+    compress_planes,
+)
 
 
 def default_mesh(axis_docs: str = "docs", axis_queries: str = "queries",
@@ -44,11 +49,13 @@ def default_mesh(axis_docs: str = "docs", axis_queries: str = "queries",
 class ShardedIndex:
     """A BuiltIndex partitioned by doc range across a mesh's ``docs`` axis."""
 
-    def __init__(self, mesh, data, offsets, lengths, doc_lens, shard_starts,
-                 vocab, avg_doc_length: float, corpus_size: int,
-                 max_shard_docs: int):
+    def __init__(self, mesh, hdrs, pays, offsets, lengths, doc_lens,
+                 shard_starts, vocab, avg_doc_length: float, corpus_size: int,
+                 max_shard_docs: int, blk_bits: int):
         self.mesh = mesh
-        self.data = data              # uint64[S, W_max]   sharded (docs)
+        self.hdrs = hdrs              # int32[S, W_max]    sharded (docs)
+        self.pays = pays              # uint32[S, W_max]   sharded (docs)
+        self.blk_bits = blk_bits
         self.offsets = offsets        # int64[S, V]        sharded (docs)
         self.lengths = lengths        # int64[S, V]        sharded (docs)
         self.doc_lens = doc_lens      # f32[S, N_shard]    sharded (docs)
@@ -97,9 +104,14 @@ class ShardedIndex:
 
         max_bucket = bucket_of(int(max(1, max(l.max(initial=0) for l in shard_lens))))
         W = max_words + max_bucket
-        data_np = np.full((S, W), enc.PAD_WORD, dtype=np.uint64)
+        max_doc_len = float(built.doc_lens.max()) if len(built.doc_lens) else 1
+        blk_bits = blk_bits_for(int(max_doc_len))
+        hdrs_np = np.full((S, W), PAD_HDR32, dtype=np.int32)
+        pays_np = np.zeros((S, W), dtype=np.uint32)
         for s in range(S):
-            data_np[s, : len(shard_datas[s])] = shard_datas[s]
+            h, p = compress_planes(shard_datas[s], blk_bits)
+            hdrs_np[s, : len(h)] = h
+            pays_np[s, : len(p)] = p
 
         doc_lens_np = np.zeros((S, shard_docs), dtype=np.float32)
         for s in range(S):
@@ -109,12 +121,13 @@ class ShardedIndex:
                 doc_lens_np[s, : hi - lo] = built.doc_lens[lo:hi]
 
         shard = lambda spec: NamedSharding(mesh, spec)
-        data = jax.device_put(data_np, shard(P("docs", None)))
+        hdrs = jax.device_put(hdrs_np, shard(P("docs", None)))
+        pays = jax.device_put(pays_np, shard(P("docs", None)))
         offsets = jax.device_put(np.stack(shard_offs), shard(P("docs", None)))
         lengths = jax.device_put(np.stack(shard_lens), shard(P("docs", None)))
         doc_lens = jax.device_put(doc_lens_np, shard(P("docs", None)))
-        return cls(mesh, data, offsets, lengths, doc_lens, starts, built.vocab,
-                   built.avg_doc_length, N, shard_docs)
+        return cls(mesh, hdrs, pays, offsets, lengths, doc_lens, starts,
+                   built.vocab, built.avg_doc_length, N, shard_docs, blk_bits)
 
     # ------------------------------------------------------------------
     def _max_bucket_for(self, term_ids: np.ndarray) -> int:
@@ -165,7 +178,7 @@ def _sharded_score(idx: ShardedIndex, tids_np: np.ndarray, bucket: int,
     tids = jax.device_put(
         tids_np, NamedSharding(idx.mesh, P("queries", None))
     )
-    return fn(idx.data, idx.offsets, idx.lengths, idx.doc_lens, tids)
+    return fn(idx.hdrs, idx.pays, idx.offsets, idx.lengths, idx.doc_lens, tids)
 
 
 def _build_sharded_score(idx: ShardedIndex, T: int, bucket: int,
@@ -179,24 +192,23 @@ def _build_sharded_score(idx: ShardedIndex, T: int, bucket: int,
     num_docs = np.float32(idx.corpus_size)
     mesh = idx.mesh
 
-    def term_tf_df(data_s, off, n, doc_lens_s):
-        words = jax.lax.dynamic_slice(data_s, (off,), (bucket,))
+    blk_bits = idx.blk_bits
+
+    def term_tf_df(hdr_s, pay_s, off, n, doc_lens_s):
+        h = jax.lax.dynamic_slice(hdr_s, (off,), (bucket,))
+        p = jax.lax.dynamic_slice(pay_s, (off,), (bucket,))
         valid = jnp.arange(bucket, dtype=jnp.int32) < n
-        words = jnp.where(valid, words, jnp.uint64(int(enc.PAD_WORD)))
-        keys = jnp.where(
-            valid, (words >> jnp.uint64(enc.KEY_SHIFT)).astype(jnp.int32), 0
-        )
-        pops = jax.lax.population_count(
-            (words & jnp.uint64(int(enc.LSB_MASK))).astype(jnp.uint32)
-        ).astype(jnp.float32)
-        pops = jnp.where(valid, pops, 0.0)
-        tf = jnp.zeros(N_shard, jnp.float32).at[keys].add(pops)
+        h = jnp.where(valid, h, jnp.int32(PAD_HDR32))
+        p = jnp.where(valid, p, jnp.uint32(0))
+        keys = (h >> jnp.int32(blk_bits)).astype(jnp.int32)
+        pops = jax.lax.population_count(p).astype(jnp.float32)
+        tf = jnp.zeros(N_shard, jnp.float32).at[keys].add(pops, mode="drop")
         prev = jnp.concatenate([keys[:1] - 1, keys[:-1]])
         df = jnp.sum((valid & (keys != prev)).astype(jnp.float32))
         return tf, df
 
-    def local(data_s, off_s, len_s, doc_lens_s, tids_q):
-        data_s = data_s[0]
+    def local(hdr_s, pay_s, off_s, len_s, doc_lens_s, tids_q):
+        hdr_s, pay_s = hdr_s[0], pay_s[0]
         off_s, len_s, doc_lens_s = off_s[0], len_s[0], doc_lens_s[0]
 
         def one_query(tids):
@@ -204,7 +216,7 @@ def _build_sharded_score(idx: ShardedIndex, T: int, bucket: int,
                 hit = tid >= 0
                 tid_c = jnp.maximum(tid, 0)
                 tf, df_local = term_tf_df(
-                    data_s, off_s[tid_c], len_s[tid_c] * hit, doc_lens_s
+                    hdr_s, pay_s, off_s[tid_c], len_s[tid_c] * hit, doc_lens_s
                 )
                 df = jax.lax.psum(df_local, "docs")
                 idf = jnp.log1p((num_docs - df + 0.5) / (df + 0.5)).astype(
@@ -225,16 +237,16 @@ def _build_sharded_score(idx: ShardedIndex, T: int, bucket: int,
         local,
         mesh=mesh,
         in_specs=(P("docs", None), P("docs", None), P("docs", None),
-                  P("docs", None), P("queries", None)),
+                  P("docs", None), P("docs", None), P("queries", None)),
         out_specs=P("docs", "queries", None),
     )
 
     num_real_docs = idx.corpus_size
 
     @jax.jit
-    def run(data, offsets, lengths, doc_lens, tids):
-        out = mapped(data, offsets, lengths, doc_lens, tids)  # [S, Q, N_shard]
-        out = jnp.moveaxis(out, 0, 1)                         # [Q, S, N_shard]
+    def run(hdrs, pays, offsets, lengths, doc_lens, tids):
+        out = mapped(hdrs, pays, offsets, lengths, doc_lens, tids)
+        out = jnp.moveaxis(out, 0, 1)  # [S, Q, N_shard] -> [Q, S, N_shard]
         return out.reshape(out.shape[0], -1)[:, :num_real_docs]
 
     return run

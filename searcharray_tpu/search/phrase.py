@@ -1,34 +1,42 @@
-"""Exact phrase matching: statically-shaped bigram chain over posting words.
+"""Exact phrase matching: sort-merge bigram chain over 32-bit posting planes.
 
 Reference semantics (`/root/reference/searcharray/phrase/bigram_freqs.py`,
 `middle_out.py:96-168`): chain bigram matches left-to-right / right-to-left /
 middle-out split at the rarest term, carrying a *continuation* array of
 match-end positions, and take the per-doc running min of bigram counts.
 
-TPU redesign: the reference materialises dynamically-sized intersections via
-galloping search.  Here every step is fixed-shape:
+TPU redesign — why a sort and not a search: binary-search alignment
+(searchsorted) costs ~log2(n) dependent random-gather passes; measured on
+TPU v5e that is ~150 ms for a stopword-sized posting list.  A multi-operand
+`lax.sort` streams sequentially through HBM instead (~10 ms at 1.3M
+elements).  So each bigram step is a **tagged merge**:
 
-* a continuation word exists for every RHS word (its payload is simply 0
-  when nothing matched there), so the chain's arrays keep the static bucket
-  shape of each term's posting slice;
-* header alignment is a vectorised ``searchsorted`` (both sides sorted);
-* per-doc counts are scattered into a dense ``float32[num_docs]`` vector and
-  combined with elementwise ``min`` — replacing sparse id intersection
-  (`middle_out.py:73-93`);
-* the whole query — every term's slice, the full chain, the min, and the
-  similarity — compiles into ONE dispatch (round-trips dominate on
-  tunneled TPUs).
+  combined = sort by (header, tag) of
+     lhs words           (tag 0, carrying lhs payload)
+     lhs "push" probes   (tag 1, header+1, carrying lhs payload)
+     rhs words           (tag 2, carrying rhs payload)
+
+After the sort, each rhs element's inner match (same-header lhs payload) and
+cross-block adjacency (lhs top bit one block earlier) sit at most two
+positions behind it — fixed-lookback shifts, no gathers.  Counts scatter
+into the dense ``float32[num_docs]`` vector; the continuation (match-end
+bits per rhs word) is compacted back to rhs order with one monotone
+scatter.  Headers are shard-compressed ``doc << blk_bits | blk`` int32
+(device.py), so the sort key is a native 32-bit compare.
+
+The whole query — slices, chain, min, similarity — is ONE dispatch.
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
 from searcharray_tpu.index.device import DeviceIndex
 from searcharray_tpu.ops import kernels as K
-from searcharray_tpu.ops.encoding import KEY_SHIFT, LSB_BITS, LSB_MASK, PAD_WORD
+from searcharray_tpu.ops.encoding import LSB_BITS, LSB_MASK
+from searcharray_tpu.ops.kernels import PAD_HDR32
 from searcharray_tpu.search.scoring import (
     _window_blocks,
     apply_similarity_device,
@@ -36,22 +44,7 @@ from searcharray_tpu.search.scoring import (
 )
 
 _TOP_BIT = 1 << (LSB_BITS - 1)  # bit 17, "last position in block"
-
-
-def _pay32(words):
-    import jax.numpy as jnp
-
-    return (words & jnp.uint64(int(LSB_MASK))).astype(jnp.uint32)
-
-
-def _align(sorted_hdr, query_hdr, size):
-    """For each query header, index of the equal element in sorted_hdr (or miss)."""
-    import jax.numpy as jnp
-
-    i = jnp.searchsorted(sorted_hdr, query_hdr)
-    i_c = jnp.clip(i, 0, size - 1)
-    hit = sorted_hdr[i_c] == query_hdr
-    return i_c, hit
+_LSB32 = int(LSB_MASK)
 
 
 def jax_popcount(x):
@@ -64,7 +57,7 @@ def _same_term_counts(pay):
     """Per-word adjusted same-term bigram count (bigram_freqs.py:48-101)."""
     import jax.numpy as jnp
 
-    lsb = jnp.uint32(int(LSB_MASK))
+    lsb = jnp.uint32(_LSB32)
     overlap = pay & ((pay << 1) & lsb)
     adj = jax_popcount(overlap)
     consec = jax_popcount(overlap & (overlap << 1) & lsb)
@@ -72,131 +65,232 @@ def _same_term_counts(pay):
     return adjusted.astype(jnp.float32), overlap
 
 
-def _bigram_step(lhs, rhs, cont_side, num_docs):
-    """One bigram step on sanitized posting/continuation words.
-
-    Returns (dense per-doc counts f32[num_docs], continuation shaped like
-    ``rhs`` when cont_side=="rhs", like ``lhs`` when "lhs").
-    """
+def _shift_prev(arr, fill):
     import jax.numpy as jnp
 
-    pad = jnp.uint64(int(PAD_WORD))
-    lhs_hdr = lhs >> jnp.uint64(LSB_BITS)
-    rhs_hdr = rhs >> jnp.uint64(LSB_BITS)
-
-    # Same-term detection (bigram_freqs.py:139): identical posting contents.
-    if lhs.shape == rhs.shape:
-        same = jnp.all(lhs == rhs)
-    else:
-        same = jnp.asarray(False)
-
-    if cont_side == "rhs":
-        base, base_hdr = rhs, rhs_hdr
-        other, other_hdr = lhs, lhs_hdr
-        adj_probe = base_hdr - jnp.uint64(1)
-    else:
-        base, base_hdr = lhs, lhs_hdr
-        other, other_hdr = rhs, rhs_hdr
-        adj_probe = base_hdr + jnp.uint64(1)
-
-    base_valid = base != pad
-    base_pay = _pay32(base)
-    other_sz = other.shape[0]
-
-    i, hit = _align(other_hdr, base_hdr, other_sz)
-    o_pay = jnp.where(hit & base_valid, _pay32(other[i]), jnp.uint32(0))
-    j, adj_hit = _align(other_hdr, adj_probe, other_sz)
-    o_adj_pay = _pay32(other[j])
-
-    if cont_side == "rhs":
-        overlap = o_pay & (base_pay >> 1)
-        adj = (
-            adj_hit & base_valid
-            & (((o_adj_pay >> np.uint32(LSB_BITS - 1)) & 1) == 1)
-            & ((base_pay & 1) == 1)
-        )
-        cont_bits_norm = (overlap << 1) & jnp.uint32(int(LSB_MASK))
-    else:
-        overlap = base_pay & (o_pay >> 1)
-        adj = (
-            adj_hit & base_valid
-            & (((base_pay >> np.uint32(LSB_BITS - 1)) & 1) == 1)
-            & ((o_adj_pay & 1) == 1)
-        )
-        cont_bits_norm = overlap  # match-begin bits stay in place
-
-    inner_counts = jax_popcount(overlap).astype(jnp.float32)
-
-    # Same-term variant (reference _inner_bigram_same_term).
-    st_counts, st_overlap = _same_term_counts(base_pay)
-    if cont_side == "rhs":
-        st_cont_bits = st_overlap
-    else:
-        st_cont_bits = base_pay & (base_pay >> 1)
-
-    counts = jnp.where(same, st_counts, inner_counts) + adj.astype(jnp.float32)
-    cont_bits = jnp.where(same, st_cont_bits, cont_bits_norm)
-    adj_bit = jnp.where(
-        adj,
-        jnp.uint32(1 if cont_side == "rhs" else _TOP_BIT),
-        jnp.uint32(0),
-    )
-
-    cont = (base & ~jnp.uint64(int(LSB_MASK))) | (cont_bits | adj_bit).astype(
-        jnp.uint64
-    )
-    cont = jnp.where(base_valid, cont, pad)
-
-    keys = jnp.where(
-        base_valid, (base >> jnp.uint64(KEY_SHIFT)).astype(jnp.int32), 0
-    )
-    counts = jnp.where(base_valid, counts, 0.0)
-    dense = jnp.zeros(num_docs, dtype=jnp.float32).at[keys].add(counts)
-    return dense, cont
+    return jnp.concatenate([jnp.full((1,), fill, arr.dtype), arr[:-1]])
 
 
-def _chain(words: List, direction: str, num_docs: int):
+def _shift_next(arr, fill):
     import jax.numpy as jnp
 
-    acc = None
+    return jnp.concatenate([arr[1:], jnp.full((1,), fill, arr.dtype)])
+
+
+def _same_term_step(h, p, cont_side, num_docs, blk_bits):
+    """Closed-form bigram step when lhs and rhs are the identical array.
+
+    No alignment needed: within-word runs use the same-term correction,
+    cross-block adjacency is simply the neighbouring element (headers are
+    unique and sorted)."""
+    import jax.numpy as jnp
+
+    st_counts, st_overlap = _same_term_counts(p)
+    if cont_side == "rhs":
+        ph = _shift_prev(h, jnp.int32(-2))
+        pp = _shift_prev(p, jnp.uint32(0))
+        adj = (ph == h - 1) & (((pp >> np.uint32(LSB_BITS - 1)) & 1) == 1) & (
+            (p & 1) == 1
+        )
+        cont_bits = st_overlap
+        adj_bit = jnp.where(adj, jnp.uint32(1), jnp.uint32(0))
+    else:
+        nh = _shift_next(h, jnp.int32(PAD_HDR32))
+        np_ = _shift_next(p, jnp.uint32(0))
+        adj = (nh == h + 1) & ((np_ & 1) == 1) & (
+            ((p >> np.uint32(LSB_BITS - 1)) & 1) == 1
+        )
+        cont_bits = p & (p >> 1)
+        adj_bit = jnp.where(adj, jnp.uint32(_TOP_BIT), jnp.uint32(0))
+
+    counts = st_counts + adj.astype(jnp.float32)
+    valid = h != PAD_HDR32
+    counts = jnp.where(valid, counts, 0.0)
+    keys = (h >> jnp.int32(blk_bits)).astype(jnp.int32)
+    dense = jnp.zeros(num_docs, jnp.float32).at[keys].add(counts, mode="drop")
+    cont_p = jnp.where(valid, cont_bits | adj_bit, jnp.uint32(0))
+    return dense, (h, cont_p)
+
+
+def _merge_step(lh, lp, rh, rp, cont_side, num_docs, blk_bits):
+    """Sort-merge bigram step; continuation shaped like the `base` side
+    (rhs for L2R, lhs for R2L)."""
+    import jax
+    import jax.numpy as jnp
+
+    if cont_side == "rhs":
+        base_h, base_p = rh, rp
+        other_h, other_p = lh, lp
+        probe_h = other_h + 1  # lhs pushes its top bit one block forward
+    else:
+        base_h, base_p = lh, lp
+        other_h, other_p = rh, rp
+        probe_h = other_h - 1  # rhs pulls its low bit one block back
+
+    B = base_h.shape[0]
+    A = other_h.shape[0]
+    # PAD probes: keep them above every real header (PAD itself +/- 1 is
+    # still > any real hdr because PAD_HDR32 has slack).
+    ch = jnp.concatenate([other_h, probe_h, base_h])
+    ct = jnp.concatenate(
+        [
+            jnp.zeros(A, jnp.int32),
+            jnp.ones(A, jnp.int32),
+            jnp.full(B, 2, jnp.int32),
+        ]
+    )
+    cp = jnp.concatenate([other_p, other_p, base_p])
+    sh, st, sp = jax.lax.sort((ch, ct, cp), num_keys=2)
+
+    p1h, p1t, p1p = (_shift_prev(sh, jnp.int32(-2)),
+                     _shift_prev(st, jnp.int32(-1)),
+                     _shift_prev(sp, jnp.uint32(0)))
+    p2h, p2t, p2p = (_shift_prev(p1h, jnp.int32(-2)),
+                     _shift_prev(p1t, jnp.int32(-1)),
+                     _shift_prev(p1p, jnp.uint32(0)))
+
+    is_base = st == 2
+    real = is_base & (sh != PAD_HDR32)
+    # inner partner: tag-0 element with equal header, 1 or 2 behind
+    inner_p = jnp.where(
+        (p1h == sh) & (p1t == 0),
+        p1p,
+        jnp.where((p2h == sh) & (p2t == 0), p2p, jnp.uint32(0)),
+    )
+    # adjacency probe: tag-1 element with equal header, 1 or 2 behind
+    probe_p = jnp.where(
+        (p1h == sh) & (p1t == 1),
+        p1p,
+        jnp.where((p2h == sh) & (p2t == 1), p2p, jnp.uint32(0)),
+    )
+    inner_p = jnp.where(real, inner_p, jnp.uint32(0))
+
+    if cont_side == "rhs":
+        overlap = inner_p & (sp >> 1)
+        adj = real & (((probe_p >> np.uint32(LSB_BITS - 1)) & 1) == 1) & (
+            (sp & 1) == 1
+        )
+        cont_bits = (overlap << 1) & jnp.uint32(_LSB32)
+        adj_bit = jnp.where(adj, jnp.uint32(1), jnp.uint32(0))
+    else:
+        overlap = sp & (inner_p >> 1)
+        adj = real & ((probe_p & 1) == 1) & (
+            ((sp >> np.uint32(LSB_BITS - 1)) & 1) == 1
+        )
+        cont_bits = overlap
+        adj_bit = jnp.where(adj, jnp.uint32(_TOP_BIT), jnp.uint32(0))
+
+    counts = jnp.where(real, jax_popcount(overlap).astype(jnp.float32)
+                       + adj.astype(jnp.float32), 0.0)
+    keys = (sh >> jnp.int32(blk_bits)).astype(jnp.int32)
+    dense = jnp.zeros(num_docs, jnp.float32).at[keys].add(counts, mode="drop")
+
+    # compact continuation back to base order (base elements appear in the
+    # sorted stream in their own sorted order -> ranks are monotone)
+    rank = jnp.cumsum(is_base.astype(jnp.int32)) - 1
+    idx = jnp.where(is_base, rank, A + A + B)  # out of range -> dropped
+    cont_p_all = jnp.where(real, cont_bits | adj_bit, jnp.uint32(0))
+    cont_h = jnp.full(B, PAD_HDR32, jnp.int32).at[idx].set(
+        sh, mode="drop", unique_indices=True
+    )
+    cont_p = jnp.zeros(B, jnp.uint32).at[idx].set(
+        cont_p_all, mode="drop", unique_indices=True
+    )
+    return dense, (cont_h, cont_p)
+
+
+# ---------------------------------------------------------------------------
+# Per-step compiled kernels.
+#
+# A whole-query composite jit compiles one giant program per (bucket-tuple,
+# plan) — XLA compile time explodes on large fused sorts and nothing is
+# reused across phrases.  Per-step jits instead are keyed by (bucket pair,
+# side): a handful of small programs shared by every phrase, chained with
+# cheap async dispatches (~9 ms enqueue on the TPU tunnel, fully pipelined).
+# ---------------------------------------------------------------------------
+_jit_cache: dict = {}
+
+
+def _cached_jit(key, builder):
+    fn = _jit_cache.get(key)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(builder())
+        _jit_cache[key] = fn
+    return fn
+
+
+def _slice_fn(bucket, blk_bits):
+    return _cached_jit(
+        ("slice", bucket, blk_bits),
+        lambda: partial(K.take_term_planes, bucket=bucket, blk_bits=blk_bits),
+    )
+
+
+def _merge_fn(A, B, cont_side, num_docs, blk_bits):
+    return _cached_jit(
+        ("merge", A, B, cont_side, num_docs, blk_bits),
+        lambda: partial(_merge_step, cont_side=cont_side, num_docs=num_docs,
+                        blk_bits=blk_bits),
+    )
+
+
+def _same_fn(B, cont_side, num_docs, blk_bits):
+    return _cached_jit(
+        ("same", B, cont_side, num_docs, blk_bits),
+        lambda: partial(_same_term_step, cont_side=cont_side,
+                        num_docs=num_docs, blk_bits=blk_bits),
+    )
+
+
+def _minsim_fn(num_docs, n_acc, kind, k1, b):
+    def build():
+        def f(doc_lens, idf, avgdl, *accs):
+            import jax.numpy as jnp
+
+            freqs = accs[0]
+            for a in accs[1:]:
+                freqs = jnp.minimum(freqs, a)
+            return apply_similarity_device(kind, freqs, doc_lens, idf,
+                                           avgdl, k1, b)
+
+        return f
+
+    return _cached_jit(("minsim", num_docs, n_acc, kind, k1, b), build)
+
+
+def _run_chain(planes, tids, direction, num_docs, blk_bits):
+    """Dispatch the bigram chain; returns the list of dense count vectors."""
+    denses = []
     if direction == "l2r":
-        carry = words[0]
-        for nxt in words[1:]:
-            dense, carry = _bigram_step(carry, nxt, "rhs", num_docs)
-            acc = dense if acc is None else jnp.minimum(acc, dense)
+        carry = planes[0]
+        raw = True
+        order = range(1, len(planes))
+        for i in order:
+            nxt = planes[i]
+            if raw and tids[i] == tids[i - 1]:
+                dense, carry = _same_fn(nxt[0].shape[0], "rhs", num_docs,
+                                        blk_bits)(*nxt)
+            else:
+                dense, carry = _merge_fn(carry[0].shape[0], nxt[0].shape[0],
+                                         "rhs", num_docs, blk_bits)(*carry, *nxt)
+            raw = False
+            denses.append(dense)
     else:
-        carry = words[-1]
-        for prv in reversed(words[:-1]):
-            dense, carry = _bigram_step(prv, carry, "lhs", num_docs)
-            acc = dense if acc is None else jnp.minimum(acc, dense)
-    return acc
-
-
-def _phrase_impl(data, offs, ns, doc_lens, idf, avgdl, min_blk, max_blk,
-                 *, buckets, split, num_docs, windowed, kind, k1, b):
-    """Whole phrase query — slices, chain(s), min, similarity — one jit."""
-    import jax.numpy as jnp
-
-    mb = (min_blk, max_blk) if windowed else (None, None)
-    words = [
-        K.take_term_slice(data, offs[i], ns[i], *mb, bucket=buckets[i])[0]
-        for i in range(len(buckets))
-    ]
-    # Direction planning, parity with compute_phrase_freqs
-    # (middle_out.py:154-168).
-    n = len(words)
-    if split <= 1:
-        freqs = _chain(words, "l2r", num_docs)
-    elif split >= n - 2:
-        freqs = _chain(words, "r2l", num_docs)
-    else:
-        left = _chain(words[:split], "l2r", num_docs)
-        right = _chain(words[split:], "r2l", num_docs)
-        freqs = jnp.minimum(left, right)
-    return apply_similarity_device(kind, freqs, doc_lens, idf, avgdl, k1, b)
-
-
-_phrase_cache: dict = {}
+        carry = planes[-1]
+        raw = True
+        for i in range(len(planes) - 2, -1, -1):
+            prv = planes[i]
+            if raw and tids[i] == tids[i + 1]:
+                dense, carry = _same_fn(prv[0].shape[0], "lhs", num_docs,
+                                        blk_bits)(*prv)
+            else:
+                dense, carry = _merge_fn(prv[0].shape[0], carry[0].shape[0],
+                                         "lhs", num_docs, blk_bits)(*prv, *carry)
+            raw = False
+            denses.append(dense)
+    return denses
 
 
 def phrase_freqs_dense(index: DeviceIndex, term_ids: List[int],
@@ -204,45 +298,49 @@ def phrase_freqs_dense(index: DeviceIndex, term_ids: List[int],
                        max_posn: Optional[int] = None,
                        kind: str = "none", k1: float = 1.2, b: float = 0.75,
                        idf: Optional[float] = None):
-    """Dense per-doc exact phrase frequencies or scores (one dispatch)."""
+    """Dense per-doc exact phrase frequencies or scores.
+
+    Pipelined async per-step dispatches; host blocks only when the caller
+    materialises the result."""
     import jax.numpy as jnp
 
     if len(term_ids) < 2:
         raise ValueError("Must have at least two terms")
     min_blk, max_blk = _window_blocks(min_posn, max_posn)
     windowed = min_posn is not None or max_posn is not None
+    mb = (min_blk, max_blk) if windowed else (None, None)
 
     spans = [index.term_span(t) for t in term_ids]
     lengths = [s[1] for s in spans]
     if min(lengths) == 0:
         return jnp.zeros(index.corpus_size, dtype=jnp.float32)
-    buckets = tuple(s[2] for s in spans)
-    split = int(np.argmin(lengths))
     if idf is None:
         idf = host_idf(kind, [index.doc_freqs[t] for t in term_ids],
                        index.corpus_size, index.avg_doc_length)
 
-    key = ("phrase", index.corpus_size, buckets,
-           split if 1 < split < len(term_ids) - 2
-           else ("l2r" if split <= 1 else "r2l"), windowed, kind, k1, b)
-    fn = _phrase_cache.get(key)
-    if fn is None:
-        import jax
+    blk_bits = index.blk_bits
+    num_docs = index.corpus_size
+    planes = [
+        _slice_fn(b_, blk_bits)(index.hdrs, index.pays, o, n, *mb)
+        for (o, n, b_) in spans
+    ]
+    tids_key = tuple(term_ids.index(t) for t in term_ids)
 
-        fn = jax.jit(
-            partial(
-                _phrase_impl,
-                buckets=buckets,
-                split=split,
-                num_docs=index.corpus_size,
-                windowed=windowed,
-                kind=kind,
-                k1=k1,
-                b=b,
-            )
-        )
-        _phrase_cache[key] = fn
-    offs = tuple(np.int64(s[0]) for s in spans)
-    ns = tuple(np.int64(s[1]) for s in spans)
-    return fn(index.data, offs, ns, index.doc_lens, np.float32(idf),
-              np.float32(max(index.avg_doc_length, 1e-38)), min_blk, max_blk)
+    # Direction planning, parity with compute_phrase_freqs
+    # (middle_out.py:154-168).
+    split = int(np.argmin(lengths))
+    n = len(term_ids)
+    if split <= 1:
+        denses = _run_chain(planes, tids_key, "l2r", num_docs, blk_bits)
+    elif split >= n - 2:
+        denses = _run_chain(planes, tids_key, "r2l", num_docs, blk_bits)
+    else:
+        denses = _run_chain(planes[:split], tids_key[:split], "l2r",
+                            num_docs, blk_bits)
+        denses += _run_chain(planes[split:], tids_key[split:], "r2l",
+                             num_docs, blk_bits)
+
+    return _minsim_fn(num_docs, len(denses), kind, k1, b)(
+        index.doc_lens, np.float32(idf),
+        np.float32(max(index.avg_doc_length, 1e-38)), *denses
+    )

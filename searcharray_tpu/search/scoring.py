@@ -62,16 +62,17 @@ def host_idf(kind, dfs, num_docs, avgdl) -> np.float32:
 # ---------------------------------------------------------------------------
 # term stats
 # ---------------------------------------------------------------------------
-def _term_scores_impl(data, off, n, min_blk, max_blk, doc_lens, idf, avgdl,
-                      *, bucket, num_docs, kind, k1, b):
+def _term_scores_impl(hdrs, pays, off, n, min_blk, max_blk, doc_lens, idf,
+                      avgdl, *, bucket, num_docs, kind, k1, b, blk_bits):
+    import jax
     import jax.numpy as jnp
 
-    words, valid = K.take_term_slice(data, off, n, min_blk, max_blk,
-                                     bucket=bucket)
-    keys = jnp.where(valid, K.word_keys(words), 0)
-    pops = K.payload_popcount(words).astype(jnp.float32)
-    pops = jnp.where(valid, pops, 0.0)
-    tfs = jnp.zeros(num_docs, dtype=jnp.float32).at[keys].add(pops)
+    h, p = K.take_term_planes(hdrs, pays, off, n, min_blk, max_blk,
+                              bucket=bucket, blk_bits=blk_bits)
+    keys = (h >> jnp.int32(blk_bits)).astype(jnp.int32)
+    pops = jax.lax.population_count(p).astype(jnp.float32)
+    # PAD rows have payload 0 -> contribute nothing; out-of-range keys drop.
+    tfs = jnp.zeros(num_docs, dtype=jnp.float32).at[keys].add(pops, mode="drop")
     return apply_similarity_device(kind, tfs, doc_lens, idf, avgdl, k1, b)
 
 
@@ -81,7 +82,7 @@ _kernel_cache: dict = {}
 def _get_fused(dev: DeviceIndex, bucket: int, kind: str, k1: float, b: float):
     import jax
 
-    key = ("term", dev.corpus_size, bucket, kind, k1, b)
+    key = ("term", dev.corpus_size, dev.blk_bits, bucket, kind, k1, b)
     fn = _kernel_cache.get(key)
     if fn is None:
         fn = jax.jit(
@@ -92,6 +93,7 @@ def _get_fused(dev: DeviceIndex, bucket: int, kind: str, k1: float, b: float):
                 kind=kind,
                 k1=k1,
                 b=b,
+                blk_bits=dev.blk_bits,
             )
         )
         _kernel_cache[key] = fn
@@ -140,5 +142,6 @@ def score_term_dense(index: DeviceIndex, term_id: int, kind: str = "bm25",
         idf = host_idf(kind, [docfreq(index, term_id)], index.corpus_size,
                        index.avg_doc_length)
     fn = _get_fused(index, bucket, kind, k1, b)
-    return fn(index.data, off, n, min_blk, max_blk, index.doc_lens,
-              np.float32(idf), np.float32(max(index.avg_doc_length, 1e-38)))
+    return fn(index.hdrs, index.pays, off, n, min_blk, max_blk,
+              index.doc_lens, np.float32(idf),
+              np.float32(max(index.avg_doc_length, 1e-38)))

@@ -51,43 +51,41 @@ from searcharray_tpu.search.scoring import (
 _BLK_FIELD = (1 << 18) - 1  # block bits within the 46-bit header
 
 
-def _span_impl(data, offs, ns, doc_lens, idf, avgdl, min_blk, max_blk,
+def _span_impl(hdrs, pays, offs, ns, doc_lens, idf, avgdl, min_blk, max_blk,
                *, buckets, anchor_i, mults, w, C, num_docs, windowed,
-               kind, k1, b):
+               kind, k1, b, blk_bits):
     import jax.numpy as jnp
 
     mb = (min_blk, max_blk) if windowed else (None, None)
-    term_words = [
-        K.take_term_slice(data, offs[i], ns[i], *mb, bucket=buckets[i])[0]
+    planes = [
+        K.take_term_planes(hdrs, pays, offs[i], ns[i], *mb,
+                           bucket=buckets[i], blk_bits=blk_bits)
         for i in range(len(buckets))
     ]
-    anchor_words = term_words[anchor_i]
-    T = len(term_words)
-    A = anchor_words.shape[0]
+    a_hdr, a_pay = planes[anchor_i]
+    T = len(planes)
+    A = a_hdr.shape[0]
     lanes_n = 2 * C + 1
     B = lanes_n * LSB_BITS
+    blk_field = (1 << blk_bits) - 1
 
-    pad = jnp.uint64(int(PAD_WORD))
-    a_hdr = anchor_words >> jnp.uint64(LSB_BITS)
-    a_valid = anchor_words != pad
-    a_blk = (a_hdr & jnp.uint64(_BLK_FIELD)).astype(jnp.int64)
+    a_valid = a_hdr != jnp.int32(K.PAD_HDR32)
+    a_blk = a_hdr & jnp.int32(blk_field)
 
-    deltas = jnp.arange(-C, C + 1, dtype=jnp.int64)
+    deltas = jnp.arange(-C, C + 1, dtype=jnp.int32)
     blk_ok = (
         (a_blk[:, None] + deltas[None, :] >= 0)
-        & (a_blk[:, None] + deltas[None, :] <= _BLK_FIELD)
+        & (a_blk[:, None] + deltas[None, :] <= blk_field)
     )
-    targets = (a_hdr.astype(jnp.int64)[:, None] + deltas[None, :]).astype(jnp.uint64)
+    targets = a_hdr[:, None] + deltas[None, :]
 
     lane_list = []
-    for tw in term_words:
-        t_hdr = tw >> jnp.uint64(LSB_BITS)
-        sz = tw.shape[0]
+    for t_hdr, t_pay in planes:
+        sz = t_hdr.shape[0]
         i = jnp.searchsorted(t_hdr, targets.reshape(-1)).reshape(A, lanes_n)
         i_c = jnp.clip(i, 0, sz - 1)
         hit = (t_hdr[i_c] == targets) & blk_ok
-        pay = (tw[i_c] & jnp.uint64(int(LSB_MASK))).astype(jnp.uint32)
-        lane_list.append(jnp.where(hit, pay, jnp.uint32(0)))
+        lane_list.append(jnp.where(hit, t_pay[i_c], jnp.uint32(0)))
     lanes = jnp.stack(lane_list, axis=1)  # [A, T, lanes_n]
 
     bitpos = jnp.arange(LSB_BITS, dtype=jnp.uint32)
@@ -110,15 +108,15 @@ def _span_impl(data, offs, ns, doc_lens, idf, avgdl, min_blk, max_blk,
 
     b0 = jnp.arange(LSB_BITS)
     any_win = (okc[:, b0 + w + 1] - okc[:, b0]) > 0  # [A, 18]
-    a_pay = (anchor_words & jnp.uint64(int(LSB_MASK))).astype(jnp.uint32)
     a_bits = ((a_pay[:, None] >> bitpos) & 1) == 1
     covered = a_bits & any_win & a_valid[:, None]
 
-    counts = jnp.sum(covered, axis=1).astype(jnp.float32)
-    keys = jnp.where(
-        a_valid, (anchor_words >> jnp.uint64(KEY_SHIFT)).astype(jnp.int32), 0
+    counts = jnp.where(a_valid, jnp.sum(covered, axis=1).astype(jnp.float32),
+                       0.0)
+    keys = (a_hdr >> jnp.int32(blk_bits)).astype(jnp.int32)
+    freqs = jnp.zeros(num_docs, dtype=jnp.float32).at[keys].add(
+        counts, mode="drop"
     )
-    freqs = jnp.zeros(num_docs, dtype=jnp.float32).at[keys].add(counts)
     return apply_similarity_device(kind, freqs, doc_lens, idf, avgdl, k1, b)
 
 
@@ -167,8 +165,8 @@ def span_freqs_dense(
         idf = host_idf(kind, [index.doc_freqs[t] for t in term_ids],
                        index.corpus_size, index.avg_doc_length)
 
-    key = ("span", index.corpus_size, w, C, tuple(mults), buckets, anchor_i,
-           windowed, kind, k1, b)
+    key = ("span", index.corpus_size, index.blk_bits, w, C, tuple(mults),
+           buckets, anchor_i, windowed, kind, k1, b)
     fn = _span_cache.get(key)
     if fn is None:
         fn = jax.jit(
@@ -184,10 +182,12 @@ def span_freqs_dense(
                 kind=kind,
                 k1=k1,
                 b=b,
+                blk_bits=index.blk_bits,
             )
         )
         _span_cache[key] = fn
     offs = tuple(np.int64(s[0]) for s in spans)
     ns = tuple(np.int64(s[1]) for s in spans)
-    return fn(index.data, offs, ns, index.doc_lens, np.float32(idf),
-              np.float32(max(index.avg_doc_length, 1e-38)), min_blk, max_blk)
+    return fn(index.hdrs, index.pays, offs, ns, index.doc_lens,
+              np.float32(idf), np.float32(max(index.avg_doc_length, 1e-38)),
+              min_blk, max_blk)
