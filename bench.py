@@ -79,20 +79,30 @@ def main():
         docs.score(q)
     log("warmup done")
 
+    mixed = list(term_queries) + list(phrase_queries)
+
     reps = 5
     t0 = time.perf_counter()
     n_q = 0
     for _ in range(reps):
-        for q in term_queries:
-            docs.score(q)
-            n_q += 1
-        for q in phrase_queries:
+        for q in mixed:
             s = docs.score(q)
             n_q += 1
     np.asarray(s)
+    seq_qps = n_q / (time.perf_counter() - t0)
+    log(f"sequential: {n_q} queries -> {seq_qps:.2f} qps")
+
+    docs.score_batch(mixed)  # warm the pipelined path
+    reps = 10
+    t0 = time.perf_counter()
+    n_q = 0
+    for _ in range(reps):
+        out = docs.score_batch(mixed)
+        n_q += len(mixed)
     elapsed = time.perf_counter() - t0
     qps = n_q / elapsed
-    log(f"{n_q} queries in {elapsed:.2f}s -> {qps:.2f} qps")
+    log(f"batched/pipelined: {n_q} queries in {elapsed:.2f}s -> {qps:.2f} qps")
+    assert out.shape == (len(mixed), N_DOCS)
 
     print(
         json.dumps(

@@ -619,6 +619,34 @@ class SearchArray(ExtensionArray):
             kind=kind, k1=k1, b=b, idf=idf,
         )
 
+    def score_batch(self, queries: List[Union[str, List[str]]],
+                    similarity: Similarity = default_bm25, slop: int = 0,
+                    ) -> np.ndarray:
+        """Score a batch of queries (terms or phrases) with one host sync.
+
+        Dispatches every query's kernels asynchronously and materialises all
+        results at the end — the throughput path for serving.  Returns
+        float32[Q, len(self)].
+        """
+        import jax
+
+        fused = getattr(similarity, "_fused", None)
+        if fused is None:
+            return np.stack(
+                [self.score(q, similarity=similarity, slop=slop)
+                 for q in queries]
+            )
+        pending = [
+            self._score_fused(self._check_token_arg(q), fused, slop,
+                              None, None)
+            for q in queries
+        ]
+        jax.block_until_ready(pending)
+        out = np.stack([np.asarray(p, dtype=np.float32) for p in pending])
+        if self.subset or len(self.rows) != self.corpus_size:
+            out = out[:, self.rows]
+        return out
+
     def positions(self, token: str, key=None) -> List[np.ndarray]:
         tid = self.term_dict.get_term_id(token)
         wanted = self.rows[key] if key is not None else self.rows

@@ -77,7 +77,7 @@ def _shift_next(arr, fill):
     return jnp.concatenate([arr[1:], jnp.full((1,), fill, arr.dtype)])
 
 
-def _same_term_step(h, p, cont_side, num_docs, blk_bits):
+def _same_term_step(h, p, cont_side, num_docs, blk_bits, need_cont=True):
     """Closed-form bigram step when lhs and rhs are the identical array.
 
     No alignment needed: within-word runs use the same-term correction,
@@ -108,11 +108,14 @@ def _same_term_step(h, p, cont_side, num_docs, blk_bits):
     counts = jnp.where(valid, counts, 0.0)
     keys = (h >> jnp.int32(blk_bits)).astype(jnp.int32)
     dense = jnp.zeros(num_docs, jnp.float32).at[keys].add(counts, mode="drop")
+    if not need_cont:
+        return dense, None
     cont_p = jnp.where(valid, cont_bits | adj_bit, jnp.uint32(0))
     return dense, (h, cont_p)
 
 
-def _merge_step(lh, lp, rh, rp, cont_side, num_docs, blk_bits):
+def _merge_step(lh, lp, rh, rp, cont_side, num_docs, blk_bits,
+                need_cont=True):
     """Sort-merge bigram step; continuation shaped like the `base` side
     (rhs for L2R, lhs for R2L)."""
     import jax
@@ -184,6 +187,8 @@ def _merge_step(lh, lp, rh, rp, cont_side, num_docs, blk_bits):
                        + adj.astype(jnp.float32), 0.0)
     keys = (sh >> jnp.int32(blk_bits)).astype(jnp.int32)
     dense = jnp.zeros(num_docs, jnp.float32).at[keys].add(counts, mode="drop")
+    if not need_cont:
+        return dense, None
 
     # compact continuation back to base order (base elements appear in the
     # sorted stream in their own sorted order -> ranks are monotone)
@@ -221,26 +226,66 @@ def _cached_jit(key, builder):
     return fn
 
 
-def _slice_fn(bucket, blk_bits):
+def _merge_raw_fn(A, B, cont_side, num_docs, blk_bits, windowed,
+                  need_cont=True):
+    """First chain step: slices both raw terms inside the jit."""
+
+    def build():
+        def f(hdrs, pays, lo, ln, ro, rn, min_blk, max_blk):
+            mb = (min_blk, max_blk) if windowed else (None, None)
+            lh, lp = K.take_term_planes(hdrs, pays, lo, ln, *mb,
+                                        bucket=A, blk_bits=blk_bits)
+            rh, rp = K.take_term_planes(hdrs, pays, ro, rn, *mb,
+                                        bucket=B, blk_bits=blk_bits)
+            return _merge_step(lh, lp, rh, rp, cont_side, num_docs, blk_bits,
+                               need_cont=need_cont)
+
+        return f
+
     return _cached_jit(
-        ("slice", bucket, blk_bits),
-        lambda: partial(K.take_term_planes, bucket=bucket, blk_bits=blk_bits),
+        ("merge_raw", A, B, cont_side, num_docs, blk_bits, windowed,
+         need_cont), build
     )
 
 
-def _merge_fn(A, B, cont_side, num_docs, blk_bits):
+def _merge_carry_fn(A, B, cont_side, num_docs, blk_bits, windowed,
+                    need_cont=True):
+    """Later chain step: carry is on device, raw term sliced inside."""
+
+    def build():
+        def f(ch, cp, hdrs, pays, o, n, min_blk, max_blk):
+            mb = (min_blk, max_blk) if windowed else (None, None)
+            th, tp = K.take_term_planes(hdrs, pays, o, n, *mb,
+                                        bucket=B, blk_bits=blk_bits)
+            if cont_side == "rhs":
+                return _merge_step(ch, cp, th, tp, cont_side, num_docs,
+                                   blk_bits, need_cont=need_cont)
+            return _merge_step(th, tp, ch, cp, cont_side, num_docs, blk_bits,
+                               need_cont=need_cont)
+
+        return f
+
     return _cached_jit(
-        ("merge", A, B, cont_side, num_docs, blk_bits),
-        lambda: partial(_merge_step, cont_side=cont_side, num_docs=num_docs,
-                        blk_bits=blk_bits),
+        ("merge_carry", A, B, cont_side, num_docs, blk_bits, windowed,
+         need_cont), build
     )
 
 
-def _same_fn(B, cont_side, num_docs, blk_bits):
+def _same_raw_fn(B, cont_side, num_docs, blk_bits, windowed,
+                 need_cont=True):
+    def build():
+        def f(hdrs, pays, o, n, min_blk, max_blk):
+            mb = (min_blk, max_blk) if windowed else (None, None)
+            h, p = K.take_term_planes(hdrs, pays, o, n, *mb,
+                                      bucket=B, blk_bits=blk_bits)
+            return _same_term_step(h, p, cont_side, num_docs, blk_bits,
+                                   need_cont=need_cont)
+
+        return f
+
     return _cached_jit(
-        ("same", B, cont_side, num_docs, blk_bits),
-        lambda: partial(_same_term_step, cont_side=cont_side,
-                        num_docs=num_docs, blk_bits=blk_bits),
+        ("same_raw", B, cont_side, num_docs, blk_bits, windowed, need_cont),
+        build
     )
 
 
@@ -260,37 +305,136 @@ def _minsim_fn(num_docs, n_acc, kind, k1, b):
     return _cached_jit(("minsim", num_docs, n_acc, kind, k1, b), build)
 
 
-def _run_chain(planes, tids, direction, num_docs, blk_bits):
-    """Dispatch the bigram chain; returns the list of dense count vectors."""
+def _run_chain(index, spans, tids, direction, mbargs, windowed):
+    """Dispatch the bigram chain; returns the list of dense count vectors.
+
+    ``spans`` = [(off, n, bucket)] per term; slices are fused into the step
+    kernels so a T-term phrase costs T-1 dispatches."""
+    num_docs = index.corpus_size
+    blk_bits = index.blk_bits
+    H, P_ = index.hdrs, index.pays
     denses = []
+    carry = None
     if direction == "l2r":
-        carry = planes[0]
-        raw = True
-        order = range(1, len(planes))
-        for i in order:
-            nxt = planes[i]
-            if raw and tids[i] == tids[i - 1]:
-                dense, carry = _same_fn(nxt[0].shape[0], "rhs", num_docs,
-                                        blk_bits)(*nxt)
+        for i in range(1, len(spans)):
+            last = i == len(spans) - 1
+            ro, rn, rb = spans[i]
+            if carry is None:
+                lo, ln, lb = spans[i - 1]
+                if tids[i] == tids[i - 1]:
+                    dense, carry = _same_raw_fn(rb, "rhs", num_docs, blk_bits,
+                                                windowed, not last)(
+                        H, P_, ro, rn, *mbargs)
+                else:
+                    dense, carry = _merge_raw_fn(lb, rb, "rhs", num_docs,
+                                                 blk_bits, windowed, not last)(
+                        H, P_, lo, ln, ro, rn, *mbargs)
             else:
-                dense, carry = _merge_fn(carry[0].shape[0], nxt[0].shape[0],
-                                         "rhs", num_docs, blk_bits)(*carry, *nxt)
-            raw = False
+                dense, carry = _merge_carry_fn(carry[0].shape[0], rb, "rhs",
+                                               num_docs, blk_bits, windowed,
+                                               not last)(
+                    *carry, H, P_, ro, rn, *mbargs)
             denses.append(dense)
     else:
-        carry = planes[-1]
-        raw = True
-        for i in range(len(planes) - 2, -1, -1):
-            prv = planes[i]
-            if raw and tids[i] == tids[i + 1]:
-                dense, carry = _same_fn(prv[0].shape[0], "lhs", num_docs,
-                                        blk_bits)(*prv)
+        for i in range(len(spans) - 2, -1, -1):
+            last = i == 0
+            lo, ln, lb = spans[i]
+            if carry is None:
+                ro, rn, rb = spans[i + 1]
+                if tids[i] == tids[i + 1]:
+                    dense, carry = _same_raw_fn(lb, "lhs", num_docs, blk_bits,
+                                                windowed, not last)(
+                        H, P_, lo, ln, *mbargs)
+                else:
+                    dense, carry = _merge_raw_fn(lb, rb, "lhs", num_docs,
+                                                 blk_bits, windowed, not last)(
+                        H, P_, lo, ln, ro, rn, *mbargs)
             else:
-                dense, carry = _merge_fn(prv[0].shape[0], carry[0].shape[0],
-                                         "lhs", num_docs, blk_bits)(*prv, *carry)
-            raw = False
+                dense, carry = _merge_carry_fn(carry[0].shape[0], lb, "lhs",
+                                               num_docs, blk_bits, windowed,
+                                               not last)(
+                    *carry, H, P_, lo, ln, *mbargs)
             denses.append(dense)
     return denses
+
+
+# "auto": single-dispatch composite kernels on TPU (host enqueue round
+# trips are ~9 ms there), per-step kernels on CPU (composites recompile per
+# phrase shape; steps are shared).  Tests force each mode explicitly.
+COMPOSITE_MODE = "auto"
+
+
+def _plan(n: int, split: int):
+    """Chain layout, parity with compute_phrase_freqs (middle_out.py:154-168)."""
+    if split <= 1:
+        return [("l2r", list(range(n)))]
+    if split >= n - 2:
+        return [("r2l", list(range(n)))]
+    return [("l2r", list(range(split))), ("r2l", list(range(split, n)))]
+
+
+def _chain_planes(planes, tids, direction, num_docs, blk_bits):
+    """In-trace bigram chain over already-sliced planes."""
+    denses = []
+    carry = None
+    if direction == "l2r":
+        for i in range(1, len(planes)):
+            last = i == len(planes) - 1
+            if carry is None and tids[i] == tids[i - 1]:
+                dense, carry = _same_term_step(*planes[i], "rhs", num_docs,
+                                               blk_bits, need_cont=not last)
+            else:
+                lhs = planes[i - 1] if carry is None else carry
+                dense, carry = _merge_step(*lhs, *planes[i], "rhs", num_docs,
+                                           blk_bits, need_cont=not last)
+            denses.append(dense)
+    else:
+        for i in range(len(planes) - 2, -1, -1):
+            last = i == 0
+            if carry is None and tids[i] == tids[i + 1]:
+                dense, carry = _same_term_step(*planes[i], "lhs", num_docs,
+                                               blk_bits, need_cont=not last)
+            else:
+                rhs = planes[i + 1] if carry is None else carry
+                dense, carry = _merge_step(*planes[i], *rhs, "lhs", num_docs,
+                                           blk_bits, need_cont=not last)
+            denses.append(dense)
+    return denses
+
+
+def _composite_fn(buckets, tids, split, num_docs, blk_bits, windowed,
+                  kind, k1, b):
+    """One jit for the entire phrase query (slices+chain+min+similarity)."""
+
+    def build():
+        def f(hdrs, pays, doc_lens, idf, avgdl, min_blk, max_blk, offs, ns):
+            import jax.numpy as jnp
+
+            mb = (min_blk, max_blk) if windowed else (None, None)
+            planes = [
+                K.take_term_planes(hdrs, pays, offs[i], ns[i], *mb,
+                                   bucket=buckets[i], blk_bits=blk_bits)
+                for i in range(len(buckets))
+            ]
+            denses = []
+            for direction, idxs in _plan(len(buckets), split):
+                denses += _chain_planes(
+                    [planes[i] for i in idxs], [tids[i] for i in idxs],
+                    direction, num_docs, blk_bits,
+                )
+            freqs = denses[0]
+            for d in denses[1:]:
+                freqs = jnp.minimum(freqs, d)
+            return apply_similarity_device(kind, freqs, doc_lens, idf,
+                                           avgdl, k1, b)
+
+        return f
+
+    return _cached_jit(
+        ("composite", buckets, tids, split, num_docs, blk_bits, windowed,
+         kind, k1, b),
+        build,
+    )
 
 
 def phrase_freqs_dense(index: DeviceIndex, term_ids: List[int],
@@ -308,7 +452,6 @@ def phrase_freqs_dense(index: DeviceIndex, term_ids: List[int],
         raise ValueError("Must have at least two terms")
     min_blk, max_blk = _window_blocks(min_posn, max_posn)
     windowed = min_posn is not None or max_posn is not None
-    mb = (min_blk, max_blk) if windowed else (None, None)
 
     spans = [index.term_span(t) for t in term_ids]
     lengths = [s[1] for s in spans]
@@ -318,29 +461,35 @@ def phrase_freqs_dense(index: DeviceIndex, term_ids: List[int],
         idf = host_idf(kind, [index.doc_freqs[t] for t in term_ids],
                        index.corpus_size, index.avg_doc_length)
 
-    blk_bits = index.blk_bits
     num_docs = index.corpus_size
-    planes = [
-        _slice_fn(b_, blk_bits)(index.hdrs, index.pays, o, n, *mb)
-        for (o, n, b_) in spans
-    ]
+    mbargs = (min_blk, max_blk)
     tids_key = tuple(term_ids.index(t) for t in term_ids)
-
-    # Direction planning, parity with compute_phrase_freqs
-    # (middle_out.py:154-168).
     split = int(np.argmin(lengths))
-    n = len(term_ids)
-    if split <= 1:
-        denses = _run_chain(planes, tids_key, "l2r", num_docs, blk_bits)
-    elif split >= n - 2:
-        denses = _run_chain(planes, tids_key, "r2l", num_docs, blk_bits)
-    else:
-        denses = _run_chain(planes[:split], tids_key[:split], "l2r",
-                            num_docs, blk_bits)
-        denses += _run_chain(planes[split:], tids_key[split:], "r2l",
-                             num_docs, blk_bits)
+    avgdl = np.float32(max(index.avg_doc_length, 1e-38))
 
-    return _minsim_fn(num_docs, len(denses), kind, k1, b)(
-        index.doc_lens, np.float32(idf),
-        np.float32(max(index.avg_doc_length, 1e-38)), *denses
+    use_composite = COMPOSITE_MODE == "always" or (
+        COMPOSITE_MODE == "auto" and _backend() == "tpu"
     )
+    if use_composite:
+        buckets = tuple(s[2] for s in spans)
+        fn = _composite_fn(buckets, tids_key, split, num_docs,
+                           index.blk_bits, windowed, kind, k1, b)
+        offs = tuple(np.int64(s[0]) for s in spans)
+        ns = tuple(np.int64(s[1]) for s in spans)
+        return fn(index.hdrs, index.pays, index.doc_lens, np.float32(idf),
+                  avgdl, min_blk, max_blk, offs, ns)
+
+    denses = []
+    for direction, idxs in _plan(len(term_ids), split):
+        denses += _run_chain(index, [spans[i] for i in idxs],
+                             [tids_key[i] for i in idxs], direction,
+                             mbargs, windowed)
+    return _minsim_fn(num_docs, len(denses), kind, k1, b)(
+        index.doc_lens, np.float32(idf), avgdl, *denses
+    )
+
+
+def _backend() -> str:
+    import jax
+
+    return jax.default_backend()
