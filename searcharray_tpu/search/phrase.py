@@ -117,67 +117,72 @@ def _same_term_step(h, p, cont_side, num_docs, blk_bits, need_cont=True):
 def _merge_step(lh, lp, rh, rp, cont_side, num_docs, blk_bits,
                 need_cont=True):
     """Sort-merge bigram step; continuation shaped like the `base` side
-    (rhs for L2R, lhs for R2L)."""
+    (rhs for L2R, lhs for R2L).
+
+    Tag order puts *base* (tag 0) before *other* (tag 1) at equal headers,
+    so for each base element the same-header partner is at lookahead 1 and
+    the adjacent-block partner within lookback/lookahead <= 3 — the merge
+    needs only one (A+B)-element sort plus shifted compares, no probe
+    copies and no gathers."""
     import jax
     import jax.numpy as jnp
 
     if cont_side == "rhs":
         base_h, base_p = rh, rp
         other_h, other_p = lh, lp
-        probe_h = other_h + 1  # lhs pushes its top bit one block forward
     else:
         base_h, base_p = lh, lp
         other_h, other_p = rh, rp
-        probe_h = other_h - 1  # rhs pulls its low bit one block back
 
     B = base_h.shape[0]
     A = other_h.shape[0]
-    # PAD probes: keep them above every real header (PAD itself +/- 1 is
-    # still > any real hdr because PAD_HDR32 has slack).
-    ch = jnp.concatenate([other_h, probe_h, base_h])
-    ct = jnp.concatenate(
-        [
-            jnp.zeros(A, jnp.int32),
-            jnp.ones(A, jnp.int32),
-            jnp.full(B, 2, jnp.int32),
-        ]
-    )
-    cp = jnp.concatenate([other_p, other_p, base_p])
+    ch = jnp.concatenate([base_h, other_h])
+    ct = jnp.concatenate([jnp.zeros(B, jnp.int32), jnp.ones(A, jnp.int32)])
+    cp = jnp.concatenate([base_p, other_p])
     sh, st, sp = jax.lax.sort((ch, ct, cp), num_keys=2)
 
-    p1h, p1t, p1p = (_shift_prev(sh, jnp.int32(-2)),
-                     _shift_prev(st, jnp.int32(-1)),
-                     _shift_prev(sp, jnp.uint32(0)))
-    p2h, p2t, p2p = (_shift_prev(p1h, jnp.int32(-2)),
-                     _shift_prev(p1t, jnp.int32(-1)),
-                     _shift_prev(p1p, jnp.uint32(0)))
+    def prev(arr, fill):
+        return _shift_prev(arr, fill)
 
-    is_base = st == 2
+    def nxt(arr, fill):
+        return _shift_next(arr, fill)
+
+    n1h, n1t, n1p = nxt(sh, jnp.int32(-2)), nxt(st, jnp.int32(-1)), nxt(sp, jnp.uint32(0))
+    is_base = st == 0
     real = is_base & (sh != PAD_HDR32)
-    # inner partner: tag-0 element with equal header, 1 or 2 behind
-    inner_p = jnp.where(
-        (p1h == sh) & (p1t == 0),
-        p1p,
-        jnp.where((p2h == sh) & (p2t == 0), p2p, jnp.uint32(0)),
-    )
-    # adjacency probe: tag-1 element with equal header, 1 or 2 behind
-    probe_p = jnp.where(
-        (p1h == sh) & (p1t == 1),
-        p1p,
-        jnp.where((p2h == sh) & (p2t == 1), p2p, jnp.uint32(0)),
-    )
+
+    # same-header partner (other sorts right after base at equal header)
+    inner_p = jnp.where((n1h == sh) & (n1t == 1), n1p, jnp.uint32(0))
     inner_p = jnp.where(real, inner_p, jnp.uint32(0))
 
     if cont_side == "rhs":
+        # adjacent partner: other at header-1, which sorts after any base at
+        # header-1 and thus sits directly before this base element
+        p1h, p1t, p1p = (prev(sh, jnp.int32(-2)), prev(st, jnp.int32(-1)),
+                         prev(sp, jnp.uint32(0)))
+        adj_p = jnp.where((p1h == sh - 1) & (p1t == 1), p1p, jnp.uint32(0))
         overlap = inner_p & (sp >> 1)
-        adj = real & (((probe_p >> np.uint32(LSB_BITS - 1)) & 1) == 1) & (
+        adj = real & (((adj_p >> np.uint32(LSB_BITS - 1)) & 1) == 1) & (
             (sp & 1) == 1
         )
         cont_bits = (overlap << 1) & jnp.uint32(_LSB32)
         adj_bit = jnp.where(adj, jnp.uint32(1), jnp.uint32(0))
     else:
+        # adjacent partner: other at header+1; between this base element
+        # and it there can be other(h) and base(h+1) -> lookahead <= 3
+        n2h, n2t, n2p = (nxt(n1h, jnp.int32(-2)), nxt(n1t, jnp.int32(-1)),
+                         nxt(n1p, jnp.uint32(0)))
+        n3h, n3t, n3p = (nxt(n2h, jnp.int32(-2)), nxt(n2t, jnp.int32(-1)),
+                         nxt(n2p, jnp.uint32(0)))
+        adj_p = jnp.where(
+            (n1h == sh + 1) & (n1t == 1), n1p,
+            jnp.where(
+                (n2h == sh + 1) & (n2t == 1), n2p,
+                jnp.where((n3h == sh + 1) & (n3t == 1), n3p, jnp.uint32(0)),
+            ),
+        )
         overlap = sp & (inner_p >> 1)
-        adj = real & ((probe_p & 1) == 1) & (
+        adj = real & ((adj_p & 1) == 1) & (
             ((sp >> np.uint32(LSB_BITS - 1)) & 1) == 1
         )
         cont_bits = overlap
@@ -193,7 +198,7 @@ def _merge_step(lh, lp, rh, rp, cont_side, num_docs, blk_bits,
     # compact continuation back to base order (base elements appear in the
     # sorted stream in their own sorted order -> ranks are monotone)
     rank = jnp.cumsum(is_base.astype(jnp.int32)) - 1
-    idx = jnp.where(is_base, rank, A + A + B)  # out of range -> dropped
+    idx = jnp.where(is_base, rank, A + B)  # out of range -> dropped
     cont_p_all = jnp.where(real, cont_bits | adj_bit, jnp.uint32(0))
     cont_h = jnp.full(B, PAD_HDR32, jnp.int32).at[idx].set(
         sh, mode="drop", unique_indices=True

@@ -1,0 +1,87 @@
+"""Thread-parallel indexing and querying (reference: test_tmdb.py:285,
+test_msmarco.py:454) plus a moderate-scale end-to-end check."""
+import threading
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from searcharray_tpu import SearchArray, edismax
+from searcharray_tpu.utils.profiling import hbm_report
+
+
+def make_corpus(n, seed=3):
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(500)] + ["common", "term"])
+    probs = 1.0 / np.arange(1, len(vocab) + 1)
+    probs /= probs.sum()
+    return [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 40), p=probs))
+        for _ in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def frame():
+    docs = make_corpus(2000)
+    return pd.DataFrame({"body": SearchArray.index(docs, workers=4)}), docs
+
+
+def test_concurrent_queries_deterministic(frame):
+    df, _ = frame
+    expected, _ = edismax(df, q="common term w3", qf=["body"], pf=["body"])
+    results = [None] * 8
+    errors = []
+
+    def worker(i):
+        try:
+            scores, _ = edismax(df, q="common term w3", qf=["body"],
+                                pf=["body"])
+            results[i] = scores
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    for r in results:
+        assert np.allclose(r, expected)
+
+
+def test_multithreaded_build_matches_single(frame):
+    _, docs = frame
+    multi = SearchArray.index(docs, workers=4, batch_size=333)
+    single = SearchArray.index(docs, workers=1, batch_size=100_000)
+    for q in ("common", "w3", "w77"):
+        assert np.allclose(multi.score(q), single.score(q)), q
+    assert np.array_equal(
+        multi.termfreqs(["common", "term"]), single.termfreqs(["common", "term"])
+    )
+
+
+def test_batch_size_independence(frame):
+    _, docs = frame
+    a = SearchArray.index(docs, batch_size=100)
+    b = SearchArray.index(docs, batch_size=100_000)
+    assert np.allclose(a.score("common"), b.score("common"))
+    assert a.docfreq("common") == b.docfreq("common")
+
+
+def test_repeat_queries_deterministic(frame):
+    df, _ = frame
+    first, _ = edismax(df, q="common w5", qf=["body"], pf2=["body"])
+    for _ in range(3):
+        again, _ = edismax(df, q="common w5", qf=["body"], pf2=["body"])
+        assert np.array_equal(first, again)
+
+
+def test_hbm_report(frame):
+    df, _ = frame
+    arr = df["body"].array
+    arr.score("common")  # force device upload
+    rep = hbm_report(arr)
+    assert rep["index.hdrs"] > 0
+    assert rep["index.total"] >= rep["index.hdrs"] + rep["index.pays"]
