@@ -42,6 +42,7 @@ class DeviceIndex:
         max_len = int(built.postings.lengths.max()) if built.postings.num_terms else 0
         self.max_bucket = bucket_of(max(1, max_len))
         max_doc_len = float(built.doc_lens.max()) if len(built.doc_lens) else 1
+        self._max_doc_len = max_doc_len
         self.blk_bits = blk_bits_for(int(max_doc_len))
 
         hdr, pay = compress_planes(built.postings.data, self.blk_bits)

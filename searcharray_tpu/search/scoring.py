@@ -117,6 +117,59 @@ def _window_blocks(min_posn, max_posn) -> Tuple[int, int]:
     return lo, hi
 
 
+# Pallas fused scorer policy: "auto" uses it on TPU for large posting lists
+# (the blocked compare-reduce beats XLA's scatter-add there: measured 3.7 ms
+# vs 6.5 ms for a 293k-word term on v5e); small terms and windowed queries
+# stay on the XLA path.  "always"/"never" for tests.
+PALLAS_MODE = "auto"
+_PALLAS_MIN_WORDS = 32768
+_PALLAS_DOC_BLOCK = 1024
+
+
+def _use_pallas(n: int, windowed: bool) -> bool:
+    import jax
+
+    if windowed or PALLAS_MODE == "never":
+        return False
+    if PALLAS_MODE == "always":
+        return True
+    return jax.default_backend() == "tpu" and n >= _PALLAS_MIN_WORDS
+
+
+def _pallas_term_fn(dev: DeviceIndex, bucket: int, kind: str, k1: float,
+                    b: float, interpret: bool = False):
+    import jax
+
+    from searcharray_tpu.ops.pallas.score import (
+        WORD_TILE,
+        block_bounds,
+        score_term_pallas,
+    )
+
+    doc_block = _PALLAS_DOC_BLOCK
+    blocks_per_doc = -(-int(max(1.0, dev._max_doc_len)) // LSB_BITS)
+    maxw = min(bucket, doc_block * (blocks_per_doc + 1))
+    key = ("pallas_term", dev.corpus_size, dev.blk_bits, bucket, kind, k1, b,
+           doc_block, maxw, interpret)
+    fn = _kernel_cache.get(key)
+    if fn is None:
+
+        def impl(hdrs, pays, off, n, doc_lens, idf, avgdl):
+            h, p = K.take_term_planes(hdrs, pays, off, n, bucket=bucket,
+                                      blk_bits=dev.blk_bits)
+            bounds = block_bounds(h, dev.blk_bits, dev.corpus_size, doc_block)
+            return score_term_pallas(
+                h, p, doc_lens, bounds, idf, avgdl,
+                num_docs=dev.corpus_size, blk_bits=dev.blk_bits, kind=kind,
+                k1=k1, b=b, doc_block=doc_block, max_words_per_block=maxw,
+                interpret=interpret,
+            )
+
+        fn = jax.jit(impl)
+        _kernel_cache[key] = fn
+    return fn
+
+
 def docfreq(index: DeviceIndex, term_id: int) -> int:
     """Number of documents containing the term (host table lookup)."""
     return int(index.doc_freqs[term_id])
@@ -141,7 +194,14 @@ def score_term_dense(index: DeviceIndex, term_id: int, kind: str = "bm25",
     if idf is None:
         idf = host_idf(kind, [docfreq(index, term_id)], index.corpus_size,
                        index.avg_doc_length)
+    windowed = min_posn is not None or max_posn is not None
+    avgdl = np.float32(max(index.avg_doc_length, 1e-38))
+    if kind in ("none", "bm25", "bm25_legacy", "bm25_impact") and _use_pallas(
+        n, windowed
+    ):
+        fn = _pallas_term_fn(index, bucket, kind, k1, b)
+        return fn(index.hdrs, index.pays, off, n, index.doc_lens,
+                  np.float32(idf), avgdl)
     fn = _get_fused(index, bucket, kind, k1, b)
     return fn(index.hdrs, index.pays, off, n, min_blk, max_blk,
-              index.doc_lens, np.float32(idf),
-              np.float32(max(index.avg_doc_length, 1e-38)))
+              index.doc_lens, np.float32(idf), avgdl)
