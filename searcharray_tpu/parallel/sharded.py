@@ -51,7 +51,7 @@ class ShardedIndex:
 
     def __init__(self, mesh, hdrs, pays, offsets, lengths, doc_lens,
                  shard_starts, vocab, avg_doc_length: float, corpus_size: int,
-                 max_shard_docs: int, blk_bits: int):
+                 max_shard_docs: int, blk_bits: int, doc_freqs=None):
         self.mesh = mesh
         self.hdrs = hdrs              # int32[S, W_max]    sharded (docs)
         self.pays = pays              # uint32[S, W_max]   sharded (docs)
@@ -66,6 +66,7 @@ class ShardedIndex:
         self.max_shard_docs = max_shard_docs
         self.num_shards = int(shard_starts.shape[0])
         self._host_lengths = np.asarray(lengths)
+        self.doc_freqs = doc_freqs
 
     # ------------------------------------------------------------------
     @classmethod
@@ -127,7 +128,8 @@ class ShardedIndex:
         lengths = jax.device_put(np.stack(shard_lens), shard(P("docs", None)))
         doc_lens = jax.device_put(doc_lens_np, shard(P("docs", None)))
         return cls(mesh, hdrs, pays, offsets, lengths, doc_lens, starts,
-                   built.vocab, built.avg_doc_length, N, shard_docs, blk_bits)
+                   built.vocab, built.avg_doc_length, N, shard_docs, blk_bits,
+                   built.doc_freqs)
 
     # ------------------------------------------------------------------
     def _max_bucket_for(self, term_ids: np.ndarray) -> int:
@@ -159,6 +161,109 @@ class ShardedIndex:
             )
         out = _sharded_score(self, tids, bucket, float(k1), float(b))
         return out[:Q]
+
+
+    def phrase_freqs(self, tokens: Sequence[str], k1: float = 1.2,
+                     b: float = 0.75, kind: str = "none"):
+        """Exact-phrase frequencies (or BM25 scores) corpus-wide, computed
+        per shard under shard_map (phrases are doc-local, so no collective
+        is needed beyond the build-time global stats)."""
+        import jax.numpy as jnp
+
+        if any(t not in self.vocab for t in tokens):
+            return jnp.zeros(self.corpus_size, dtype=jnp.float32)
+        tids = [self.vocab.get_term_id(t) for t in tokens]
+        buckets = tuple(
+            bucket_of(int(self._host_lengths[:, t].max(initial=1)))
+            for t in tids
+        )
+        lengths = [int(self._host_lengths[:, t].sum()) for t in tids]
+        split = int(np.argmin(lengths))
+        tids_key = tuple(tids.index(t) for t in tids)
+        if kind == "none":
+            idf = 0.0
+        else:
+            from searcharray_tpu.search.scoring import host_idf
+
+            dfs = [int(self.doc_freqs[t]) for t in tids]
+            idf = float(host_idf(kind, dfs, self.corpus_size,
+                                 self.avg_doc_length))
+        fn = _sharded_phrase_fn(self, buckets, tids_key, split, kind, k1, b)
+        offs = np.stack(
+            [np.asarray(self.offsets)[:, t] for t in tids], axis=1
+        )  # [S, T]
+        ns = np.stack([np.asarray(self.lengths)[:, t] for t in tids], axis=1)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P("docs", None))
+        offs_d = jax.device_put(offs, sh)
+        ns_d = jax.device_put(ns, sh)
+        return fn(self.hdrs, self.pays, self.doc_lens, offs_d, ns_d,
+                  np.float32(idf))
+
+_phrase_shard_cache: dict = {}
+
+
+def _sharded_phrase_fn(idx: ShardedIndex, buckets, tids_key, split,
+                       kind: str, k1: float, b: float):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    key = (id(idx), buckets, tids_key, split, kind, k1, b)
+    fn = _phrase_shard_cache.get(key)
+    if fn is not None:
+        return fn
+
+    from searcharray_tpu.ops import kernels as K
+    from searcharray_tpu.search.phrase import _chain_planes, _plan
+    from searcharray_tpu.search.scoring import apply_similarity_device
+
+    N_shard = idx.max_shard_docs
+    blk_bits = idx.blk_bits
+    avgdl = np.float32(max(idx.avg_doc_length, 1e-38))
+    T = len(buckets)
+
+    def local(hdr_s, pay_s, doc_lens_s, offs_s, ns_s, idf):
+        hdr_s, pay_s = hdr_s[0], pay_s[0]
+        doc_lens_s = doc_lens_s[0]
+        offs_s, ns_s = offs_s[0], ns_s[0]
+        planes = [
+            K.take_term_planes(hdr_s, pay_s, offs_s[i], ns_s[i],
+                               bucket=buckets[i], blk_bits=blk_bits)
+            for i in range(T)
+        ]
+        denses = []
+        for direction, idxs in _plan(T, split):
+            denses += _chain_planes(
+                [planes[i] for i in idxs], [tids_key[i] for i in idxs],
+                direction, N_shard, blk_bits,
+            )
+        freqs = denses[0]
+        for d in denses[1:]:
+            freqs = jnp.minimum(freqs, d)
+        out = apply_similarity_device(kind, freqs, doc_lens_s, idf, avgdl,
+                                      k1, b)
+        return out[None]
+
+    mapped = jax.shard_map(
+        local,
+        mesh=idx.mesh,
+        in_specs=(P("docs", None), P("docs", None), P("docs", None),
+                  P("docs", None), P("docs", None), P()),
+        out_specs=P("docs", None),
+    )
+
+    num_real = idx.corpus_size
+
+    @jax.jit
+    def run(hdrs, pays, doc_lens, offs, ns, idf):
+        out = mapped(hdrs, pays, doc_lens, offs, ns, idf)
+        return out.reshape(-1)[:num_real]
+
+    _phrase_shard_cache[key] = run
+    return run
 
 
 _score_cache: dict = {}

@@ -74,3 +74,26 @@ def test_uneven_corpus_sizes(corpus):
     got = np.asarray(sharded.score_queries([["delta"]]))[0]
     assert got.shape == (397,)
     assert np.allclose(got, single.score("delta"), rtol=1e-5)
+
+
+def test_sharded_phrase_parity(corpus, sharded, single):
+    got = np.asarray(sharded.phrase_freqs(["alpha", "beta"]))
+    want = single.termfreqs(["alpha", "beta"])
+    assert np.array_equal(got, want)
+
+
+def test_sharded_phrase_score_parity(corpus, sharded, single):
+    got = np.asarray(sharded.phrase_freqs(["alpha", "beta"], kind="bm25"))
+    want = single.score(["alpha", "beta"])
+    assert np.allclose(got, want, rtol=1e-5)
+
+
+def test_sharded_phrase_trigram(corpus, sharded, single):
+    got = np.asarray(sharded.phrase_freqs(["alpha", "beta", "gamma"]))
+    want = single.termfreqs(["alpha", "beta", "gamma"])
+    assert np.array_equal(got, want)
+
+
+def test_sharded_phrase_missing_term(sharded):
+    got = np.asarray(sharded.phrase_freqs(["alpha", "notthere"]))
+    assert np.all(got == 0)
