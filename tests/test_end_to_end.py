@@ -1,0 +1,136 @@
+"""End-to-end on a realistic synthetic corpus under multiple index configs.
+
+Mirrors the reference's TMDB integration strategy (test_tmdb.py:82-259):
+the same corpus indexed under several configurations (full, small batches,
+one worker, memmap, empty-edges) must agree with each other and with a
+naive pure-Python oracle.  (The TMDB fixture itself is not shipped in the
+reference checkout — `.MISSING_LARGE_BLOBS` — so a generated corpus with
+movie-like text statistics stands in.)
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from searcharray_tpu import SearchArray, edismax
+from searcharray_tpu.index.builder import std_tokenizer
+
+
+def make_movies(n=3000, seed=5):
+    rng = np.random.default_rng(seed)
+    nouns = ["man", "woman", "dog", "city", "war", "love", "star", "night",
+             "king", "house", "road", "sea", "game", "story", "world"]
+    adjs = ["dark", "lost", "last", "first", "great", "silent", "broken",
+            "golden", "hidden", "final"]
+    titles, overviews = [], []
+    for _ in range(n):
+        t = " ".join(
+            ["the"] * int(rng.random() < 0.5)
+            + list(rng.choice(adjs, rng.integers(0, 2)))
+            + list(rng.choice(nouns, rng.integers(1, 3)))
+        )
+        o = " ".join(rng.choice(nouns + adjs + ["the", "a", "of", "in"],
+                                rng.integers(5, 60)))
+        titles.append(t)
+        overviews.append(o)
+    # edge conditions: empty docs at both ends (reference "ends_empty")
+    titles[0] = ""
+    titles[-1] = ""
+    return titles, overviews
+
+
+def naive_term_match(docs, term, tokenizer):
+    return np.array([term in tokenizer(d) for d in docs])
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_movies()
+
+
+@pytest.fixture(scope="module")
+def configs(corpus, tmp_path_factory):
+    titles, overviews = corpus
+    tmp = tmp_path_factory.mktemp("mm")
+    return {
+        "full": SearchArray.index(titles, tokenizer=std_tokenizer),
+        "small_batch": SearchArray.index(titles, tokenizer=std_tokenizer,
+                                         batch_size=97),
+        "one_worker": SearchArray.index(titles, tokenizer=std_tokenizer,
+                                        workers=1),
+        "memmap": SearchArray.index(titles, tokenizer=std_tokenizer,
+                                    data_dir=str(tmp)),
+        "no_warm": SearchArray.index(titles, tokenizer=std_tokenizer,
+                                     autowarm=False),
+    }
+
+
+@pytest.mark.parametrize("term", ["star", "dark", "the", "notaterm"])
+def test_configs_agree_and_match_oracle(configs, corpus, term):
+    titles, _ = corpus
+    oracle = naive_term_match(titles, term, std_tokenizer)
+    base = configs["full"].score(term)
+    assert np.array_equal(base > 0, oracle)
+    for name, arr in configs.items():
+        got = arr.score(term)
+        assert np.allclose(got, base), name
+
+
+def test_phrase_configs_agree(configs):
+    base = configs["full"].termfreqs(["the", "star"])
+    for name, arr in configs.items():
+        assert np.array_equal(arr.termfreqs(["the", "star"]), base), name
+
+
+def test_edismax_end_to_end(corpus):
+    titles, overviews = corpus
+    frame = pd.DataFrame(
+        {
+            "title": SearchArray.index(titles, tokenizer=std_tokenizer),
+            "overview": SearchArray.index(overviews, tokenizer=std_tokenizer),
+        }
+    )
+    scores, explain = edismax(frame, q="dark star", qf=["title^2", "overview"],
+                              pf=["title"], tie=0.1)
+    assert scores.shape == (len(titles),)
+    # every match must contain at least one query term in some field
+    matched = np.flatnonzero(scores > 0)
+    for i in matched[:50]:
+        toks = set(std_tokenizer(titles[i])) | set(std_tokenizer(overviews[i]))
+        assert "dark" in toks or "star" in toks
+    # title^2 boost: a title-only match must beat an identical overview-only match
+    assert "title:dark^2.0" in explain
+
+
+def test_topk_results(corpus):
+    from searcharray_tpu import SetOfResults
+
+    titles, overviews = corpus
+    frame = pd.DataFrame(
+        {
+            "title": SearchArray.index(titles, tokenizer=std_tokenizer),
+            "plot": overviews,
+        }
+    )
+    res = SetOfResults(frame)
+    for q in ("star", "dark city"):
+        scores, _ = edismax(frame, q=q, qf=["title"])
+        res.ins_top_n(scores, N=10, query=q)
+    out = res.get_all()
+    assert set(out["query"]) == {"star", "dark city"}
+    assert (out.groupby("query")["rank"].max() == 10).all()
+    assert "title" not in out.columns  # searchable columns excluded
+    for q in ("star", "dark city"):
+        sub = out[out["query"] == q]
+        assert (sub["score"].values == np.sort(sub["score"].values)[::-1]).all()
+
+
+def test_getitem_row_roundtrip(configs, corpus):
+    titles, _ = corpus
+    arr = configs["full"]
+    row = arr[5]
+    toks = std_tokenizer(titles[5])
+    assert set(row.postings.keys()) == set(toks)
+    assert row.doc_len == len(toks)
+    for tok in set(toks):
+        posns = row.positions(tok)
+        assert all(toks[p] == tok for p in posns)
