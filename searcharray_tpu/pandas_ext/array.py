@@ -38,6 +38,20 @@ from searcharray_tpu.search import scoring, phrase as phrase_mod, spans as spans
 from searcharray_tpu.search.similarity import Similarity, default_bm25
 
 
+_topk_cache: dict = {}
+
+
+def _topk_jit(num_docs: int, k: int):
+    import jax
+
+    key = (num_docs, k)
+    fn = _topk_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda dense: jax.lax.top_k(dense, k))
+        _topk_cache[key] = fn
+    return fn
+
+
 def _bytes_h(num_bytes):
     suffixes = ["B", "KB", "MB", "GB", "TB", "PB"]
     i = 0
@@ -646,6 +660,32 @@ class SearchArray(ExtensionArray):
         if self.subset or len(self.rows) != self.corpus_size:
             out = out[:, self.rows]
         return out
+
+    def topk(self, token: Union[str, List[str]], k: int = 10,
+             similarity: Similarity = default_bm25, slop: int = 0):
+        """Top-k (scores, row indices) for one query.
+
+        The k-selection runs on device (``lax.top_k`` over the dense score
+        vector), so only 2k values cross back to the host — the serving
+        path for ranked retrieval.  Falls back to a host argpartition for
+        custom similarities.
+        """
+        import jax
+
+        k = min(k, len(self))
+        fused = getattr(similarity, "_fused", None)
+        if fused is not None and not self.subset and len(self.rows) == self.corpus_size:
+            dense = self._score_fused(self._check_token_arg(token), fused,
+                                      slop, None, None)
+            if not isinstance(dense, np.ndarray):
+                scores, idx = _topk_jit(self.corpus_size, k)(dense)
+                return (np.asarray(scores, dtype=np.float32),
+                        np.asarray(idx, dtype=np.int64))
+        scores = self.score(token, similarity=similarity, slop=slop)
+        idx = np.argpartition(scores, -k)[-k:]
+        order = np.argsort(scores[idx])[::-1]
+        idx = idx[order]
+        return scores[idx], idx
 
     def positions(self, token: str, key=None) -> List[np.ndarray]:
         tid = self.term_dict.get_term_id(token)

@@ -178,3 +178,33 @@ def test_save_load_index(tmp_path):
     assert np.allclose(restored.score("bar"), docs.score("bar"))
     assert np.array_equal(restored.termfreqs(["foo", "bar"]),
                           docs.termfreqs(["foo", "bar"]))
+
+
+def test_topk_matches_full_sort(docs):
+    scores, idx = docs.topk("bar", k=7)
+    full = docs.score("bar")
+    want_order = np.argsort(full)[::-1][:7]
+    assert np.allclose(np.sort(scores)[::-1], np.sort(full[want_order])[::-1])
+    assert np.allclose(full[idx], scores)
+
+
+def test_topk_phrase(docs):
+    scores, idx = docs.topk(["foo", "bar"], k=5)
+    full = docs.score(["foo", "bar"])
+    assert np.allclose(full[idx], scores)
+    assert scores[0] == full.max()
+
+
+def test_topk_on_slice(docs):
+    sliced = docs[::2]
+    scores, idx = sliced.topk("bar", k=3)
+    full = sliced.score("bar")
+    assert np.allclose(full[idx], scores)
+
+
+def test_topk_custom_similarity(docs):
+    def binary(tfs, dfs, dls, avg, n):
+        return (np.asarray(tfs) > 0).astype(np.float32)
+
+    scores, idx = docs.topk("bar", k=4, similarity=binary)
+    assert np.all(scores == 1.0)
