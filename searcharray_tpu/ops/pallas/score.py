@@ -156,3 +156,82 @@ def block_bounds(hdr_slice, blk_bits: int, num_docs: int, doc_block: int):
     docs = (hdr_slice >> jnp.int32(blk_bits)).astype(jnp.int32)
     starts = jnp.arange(G + 1, dtype=jnp.int32) * doc_block
     return jnp.searchsorted(docs, starts).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Sorted segment-sum: dense per-doc sums from (sorted headers, f32 values).
+# Same block-reduce structure as the scorer; replaces XLA scatter-add for
+# the phrase chain's per-step doc counts (~10 ns/elem -> ~1 ns/elem).
+# ---------------------------------------------------------------------------
+def _segsum_kernel(tile_bounds_ref, bounds_ref, doc_ref, val_ref, out_ref,
+                   *, doc_block, n_word_tiles):
+    from jax.experimental import pallas as pl
+
+    g = pl.program_id(0)
+    t = pl.program_id(1)
+    wt = jnp.int32(WORD_TILE)
+    w_lo = bounds_ref[g]
+    w_hi = bounds_ref[g + 1]
+    d0 = g * jnp.int32(doc_block)
+
+    base = (tile_bounds_ref[g] + t) * wt
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, WORD_TILE), 1) + base
+    in_range = (idx >= w_lo) & (idx < w_hi)
+
+    docs = doc_ref[:].reshape(1, WORD_TILE)
+    vals = val_ref[:].reshape(1, WORD_TILE)
+    row_docs = d0 + jax.lax.broadcasted_iota(jnp.int32, (doc_block, 1), 0)
+    onehot = (docs == row_docs) & in_range
+    partial_sum = jnp.sum(jnp.where(onehot, vals, 0.0), axis=1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = partial_sum
+
+    @pl.when(t > 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial_sum
+
+
+def segment_sum_pallas(sorted_docs, values, *, num_docs,
+                       max_words_per_block, doc_block=1024, interpret=False):
+    """Dense float32[num_docs] sums of ``values`` grouped by ``sorted_docs``.
+
+    ``sorted_docs`` must be non-decreasing int32 (out-of-range ids for
+    padding sort above num_docs and are dropped)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = -(-num_docs // doc_block)
+    n_word_tiles = max(1, -(-(max_words_per_block + WORD_TILE) // WORD_TILE))
+    starts = jnp.arange(G + 1, dtype=jnp.int32) * doc_block
+    bounds = jnp.searchsorted(sorted_docs, starts).astype(jnp.int32)
+    tile_bounds = (bounds // np.int32(WORD_TILE)).astype(jnp.int32)
+
+    pad = n_word_tiles * WORD_TILE + WORD_TILE
+    docs_p = jnp.pad(sorted_docs, (0, pad), constant_values=np.int32(2**30))
+    vals_p = jnp.pad(values, (0, pad), constant_values=0.0)
+
+    def _words_map(g, t, tb, bounds):
+        return (tb[g] + t,)
+
+    def _out_map(g, t, tb, bounds):
+        return (g,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G, n_word_tiles),
+        in_specs=[
+            pl.BlockSpec((WORD_TILE,), _words_map),
+            pl.BlockSpec((WORD_TILE,), _words_map),
+        ],
+        out_specs=pl.BlockSpec((doc_block,), _out_map),
+    )
+    out = pl.pallas_call(
+        partial(_segsum_kernel, doc_block=doc_block,
+                n_word_tiles=n_word_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * doc_block,), jnp.float32),
+        interpret=interpret,
+    )(tile_bounds, bounds, docs_p, vals_p)
+    return out[:num_docs]

@@ -635,30 +635,55 @@ class SearchArray(ExtensionArray):
 
     def score_batch(self, queries: List[Union[str, List[str]]],
                     similarity: Similarity = default_bm25, slop: int = 0,
-                    ) -> np.ndarray:
+                    top_k: Optional[int] = None):
         """Score a batch of queries (terms or phrases) with one host sync.
 
         Dispatches every query's kernels asynchronously and materialises all
         results at the end — the throughput path for serving.  Returns
-        float32[Q, len(self)].
+        float32[Q, len(self)], or with ``top_k`` set, ``(scores[Q, k],
+        indices[Q, k])`` — the k-selection runs on device so only 2*Q*k
+        values cross back to the host (the dense vectors never leave HBM).
         """
         import jax
 
         fused = getattr(similarity, "_fused", None)
         if fused is None:
-            return np.stack(
+            dense = np.stack(
                 [self.score(q, similarity=similarity, slop=slop)
                  for q in queries]
             )
+            if top_k is None:
+                return dense
+            idx = np.argsort(dense, axis=1)[:, ::-1][:, :top_k]
+            return np.take_along_axis(dense, idx, axis=1), idx
         pending = [
             self._score_fused(self._check_token_arg(q), fused, slop,
                               None, None)
             for q in queries
         ]
+        full_view = not self.subset and len(self.rows) == self.corpus_size
+        if top_k is not None and full_view:
+            k = min(top_k, len(self))
+            fn = _topk_jit(self.corpus_size, k)
+            import jax.numpy as jnp
+
+            picked = [
+                fn(p) if not isinstance(p, np.ndarray) else fn(jnp.asarray(p))
+                for p in pending
+            ]
+            # stack on device and cross the tunnel exactly twice — each
+            # small host transfer costs a full round trip
+            scores_d = jnp.stack([s for s, _ in picked])
+            idx_d = jnp.stack([i for _, i in picked])
+            return (np.asarray(scores_d, dtype=np.float32),
+                    np.asarray(idx_d, dtype=np.int64))
         jax.block_until_ready(pending)
         out = np.stack([np.asarray(p, dtype=np.float32) for p in pending])
-        if self.subset or len(self.rows) != self.corpus_size:
+        if not full_view:
             out = out[:, self.rows]
+        if top_k is not None:
+            idx = np.argsort(out, axis=1)[:, ::-1][:, :top_k]
+            return np.take_along_axis(out, idx, axis=1), idx
         return out
 
     def topk(self, token: Union[str, List[str]], k: int = 10,

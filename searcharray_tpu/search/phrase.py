@@ -115,7 +115,7 @@ def _same_term_step(h, p, cont_side, num_docs, blk_bits, need_cont=True):
 
 
 def _merge_step(lh, lp, rh, rp, cont_side, num_docs, blk_bits,
-                need_cont=True):
+                need_cont=True, segsum_wpb=None):
     """Sort-merge bigram step; continuation shaped like the `base` side
     (rhs for L2R, lhs for R2L).
 
@@ -191,7 +191,16 @@ def _merge_step(lh, lp, rh, rp, cont_side, num_docs, blk_bits,
     counts = jnp.where(real, jax_popcount(overlap).astype(jnp.float32)
                        + adj.astype(jnp.float32), 0.0)
     keys = (sh >> jnp.int32(blk_bits)).astype(jnp.int32)
-    dense = jnp.zeros(num_docs, jnp.float32).at[keys].add(counts, mode="drop")
+    if segsum_wpb is not None:
+        # Pallas block-reduce segment sum (keys are sorted): ~10x cheaper
+        # than XLA scatter-add on TPU for stopword-sized steps.
+        from searcharray_tpu.ops.pallas.score import segment_sum_pallas
+
+        dense = segment_sum_pallas(keys, counts, num_docs=num_docs,
+                                   max_words_per_block=min(A + B, segsum_wpb))
+    else:
+        dense = jnp.zeros(num_docs, jnp.float32).at[keys].add(counts,
+                                                              mode="drop")
     if not need_cont:
         return dense, None
 
@@ -232,7 +241,7 @@ def _cached_jit(key, builder):
 
 
 def _merge_raw_fn(A, B, cont_side, num_docs, blk_bits, windowed,
-                  need_cont=True):
+                  need_cont=True, segsum_wpb=None):
     """First chain step: slices both raw terms inside the jit."""
 
     def build():
@@ -243,18 +252,18 @@ def _merge_raw_fn(A, B, cont_side, num_docs, blk_bits, windowed,
             rh, rp = K.take_term_planes(hdrs, pays, ro, rn, *mb,
                                         bucket=B, blk_bits=blk_bits)
             return _merge_step(lh, lp, rh, rp, cont_side, num_docs, blk_bits,
-                               need_cont=need_cont)
+                               need_cont=need_cont, segsum_wpb=segsum_wpb)
 
         return f
 
     return _cached_jit(
         ("merge_raw", A, B, cont_side, num_docs, blk_bits, windowed,
-         need_cont), build
+         need_cont, segsum_wpb), build
     )
 
 
 def _merge_carry_fn(A, B, cont_side, num_docs, blk_bits, windowed,
-                    need_cont=True):
+                    need_cont=True, segsum_wpb=None):
     """Later chain step: carry is on device, raw term sliced inside."""
 
     def build():
@@ -264,15 +273,16 @@ def _merge_carry_fn(A, B, cont_side, num_docs, blk_bits, windowed,
                                         bucket=B, blk_bits=blk_bits)
             if cont_side == "rhs":
                 return _merge_step(ch, cp, th, tp, cont_side, num_docs,
-                                   blk_bits, need_cont=need_cont)
+                                   blk_bits, need_cont=need_cont,
+                                   segsum_wpb=segsum_wpb)
             return _merge_step(th, tp, ch, cp, cont_side, num_docs, blk_bits,
-                               need_cont=need_cont)
+                               need_cont=need_cont, segsum_wpb=segsum_wpb)
 
         return f
 
     return _cached_jit(
         ("merge_carry", A, B, cont_side, num_docs, blk_bits, windowed,
-         need_cont), build
+         need_cont, segsum_wpb), build
     )
 
 
@@ -310,7 +320,8 @@ def _minsim_fn(num_docs, n_acc, kind, k1, b):
     return _cached_jit(("minsim", num_docs, n_acc, kind, k1, b), build)
 
 
-def _run_chain(index, spans, tids, direction, mbargs, windowed):
+def _run_chain(index, spans, tids, direction, mbargs, windowed,
+               segsum_wpb=None):
     """Dispatch the bigram chain; returns the list of dense count vectors.
 
     ``spans`` = [(off, n, bucket)] per term; slices are fused into the step
@@ -332,12 +343,13 @@ def _run_chain(index, spans, tids, direction, mbargs, windowed):
                         H, P_, ro, rn, *mbargs)
                 else:
                     dense, carry = _merge_raw_fn(lb, rb, "rhs", num_docs,
-                                                 blk_bits, windowed, not last)(
+                                                 blk_bits, windowed, not last,
+                                                 segsum_wpb)(
                         H, P_, lo, ln, ro, rn, *mbargs)
             else:
                 dense, carry = _merge_carry_fn(carry[0].shape[0], rb, "rhs",
                                                num_docs, blk_bits, windowed,
-                                               not last)(
+                                               not last, segsum_wpb)(
                     *carry, H, P_, ro, rn, *mbargs)
             denses.append(dense)
     else:
@@ -352,12 +364,13 @@ def _run_chain(index, spans, tids, direction, mbargs, windowed):
                         H, P_, lo, ln, *mbargs)
                 else:
                     dense, carry = _merge_raw_fn(lb, rb, "lhs", num_docs,
-                                                 blk_bits, windowed, not last)(
+                                                 blk_bits, windowed, not last,
+                                                 segsum_wpb)(
                         H, P_, lo, ln, ro, rn, *mbargs)
             else:
                 dense, carry = _merge_carry_fn(carry[0].shape[0], lb, "lhs",
                                                num_docs, blk_bits, windowed,
-                                               not last)(
+                                               not last, segsum_wpb)(
                     *carry, H, P_, lo, ln, *mbargs)
             denses.append(dense)
     return denses
@@ -378,7 +391,8 @@ def _plan(n: int, split: int):
     return [("l2r", list(range(split))), ("r2l", list(range(split, n)))]
 
 
-def _chain_planes(planes, tids, direction, num_docs, blk_bits):
+def _chain_planes(planes, tids, direction, num_docs, blk_bits,
+                  segsum_wpb=None):
     """In-trace bigram chain over already-sliced planes."""
     denses = []
     carry = None
@@ -391,7 +405,8 @@ def _chain_planes(planes, tids, direction, num_docs, blk_bits):
             else:
                 lhs = planes[i - 1] if carry is None else carry
                 dense, carry = _merge_step(*lhs, *planes[i], "rhs", num_docs,
-                                           blk_bits, need_cont=not last)
+                                           blk_bits, need_cont=not last,
+                                           segsum_wpb=segsum_wpb)
             denses.append(dense)
     else:
         for i in range(len(planes) - 2, -1, -1):
@@ -402,13 +417,14 @@ def _chain_planes(planes, tids, direction, num_docs, blk_bits):
             else:
                 rhs = planes[i + 1] if carry is None else carry
                 dense, carry = _merge_step(*planes[i], *rhs, "lhs", num_docs,
-                                           blk_bits, need_cont=not last)
+                                           blk_bits, need_cont=not last,
+                                           segsum_wpb=segsum_wpb)
             denses.append(dense)
     return denses
 
 
 def _composite_fn(buckets, tids, split, num_docs, blk_bits, windowed,
-                  kind, k1, b):
+                  kind, k1, b, segsum_wpb=None):
     """One jit for the entire phrase query (slices+chain+min+similarity)."""
 
     def build():
@@ -425,7 +441,7 @@ def _composite_fn(buckets, tids, split, num_docs, blk_bits, windowed,
             for direction, idxs in _plan(len(buckets), split):
                 denses += _chain_planes(
                     [planes[i] for i in idxs], [tids[i] for i in idxs],
-                    direction, num_docs, blk_bits,
+                    direction, num_docs, blk_bits, segsum_wpb,
                 )
             freqs = denses[0]
             for d in denses[1:]:
@@ -437,7 +453,7 @@ def _composite_fn(buckets, tids, split, num_docs, blk_bits, windowed,
 
     return _cached_jit(
         ("composite", buckets, tids, split, num_docs, blk_bits, windowed,
-         kind, k1, b),
+         kind, k1, b, segsum_wpb),
         build,
     )
 
@@ -475,10 +491,11 @@ def phrase_freqs_dense(index: DeviceIndex, term_ids: List[int],
     use_composite = COMPOSITE_MODE == "always" or (
         COMPOSITE_MODE == "auto" and _backend() == "tpu"
     )
+    segsum_wpb = _segsum_wpb(index)
     if use_composite:
         buckets = tuple(s[2] for s in spans)
         fn = _composite_fn(buckets, tids_key, split, num_docs,
-                           index.blk_bits, windowed, kind, k1, b)
+                           index.blk_bits, windowed, kind, k1, b, segsum_wpb)
         offs = tuple(np.int64(s[0]) for s in spans)
         ns = tuple(np.int64(s[1]) for s in spans)
         return fn(index.hdrs, index.pays, index.doc_lens, np.float32(idf),
@@ -488,10 +505,24 @@ def phrase_freqs_dense(index: DeviceIndex, term_ids: List[int],
     for direction, idxs in _plan(len(term_ids), split):
         denses += _run_chain(index, [spans[i] for i in idxs],
                              [tids_key[i] for i in idxs], direction,
-                             mbargs, windowed)
+                             mbargs, windowed, segsum_wpb)
     return _minsim_fn(num_docs, len(denses), kind, k1, b)(
         index.doc_lens, np.float32(idf), avgdl, *denses
     )
+
+
+def _segsum_wpb(index: DeviceIndex):
+    """Static per-doc-block word bound for the Pallas segment-sum (None =
+    use XLA scatter): in a merge step, one doc contributes at most its
+    block count from each side."""
+    from searcharray_tpu.search import scoring as _S
+
+    if _S.PALLAS_MODE == "never" or (
+        _S.PALLAS_MODE == "auto" and _backend() != "tpu"
+    ):
+        return None
+    blocks_per_doc = -(-int(max(1.0, index._max_doc_len)) // LSB_BITS)
+    return 1024 * (2 * blocks_per_doc + 2)
 
 
 def _backend() -> str:

@@ -86,3 +86,24 @@ def test_pallas_integrated_path_matches(docs):
     finally:
         S.PALLAS_MODE = old
     assert np.allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_segment_sum_pallas_matches_scatter():
+    import jax.numpy as jnp
+
+    from searcharray_tpu.ops.pallas.score import segment_sum_pallas
+
+    rng = np.random.default_rng(4)
+    M, N = 5000, 700
+    docs = np.sort(rng.integers(0, N, M)).astype(np.int32)
+    # padding tail: out-of-range ids must be dropped
+    docs[-100:] = 2**30
+    vals = rng.random(M).astype(np.float32)
+    got = np.asarray(
+        segment_sum_pallas(jnp.asarray(docs), jnp.asarray(vals),
+                           num_docs=N, max_words_per_block=4096,
+                           doc_block=256, interpret=True)
+    )
+    want = np.zeros(N, np.float32)
+    np.add.at(want, docs[docs < N], vals[docs < N])
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -208,3 +208,20 @@ def test_topk_custom_similarity(docs):
 
     scores, idx = docs.topk("bar", k=4, similarity=binary)
     assert np.all(scores == 1.0)
+
+
+def test_score_batch_topk(docs):
+    queries = ["bar", ["foo", "bar"], "nonexistent"]
+    scores, idx = docs.score_batch(queries, top_k=5)
+    assert scores.shape == (3, 5) and idx.shape == (3, 5)
+    for qi, q in enumerate(queries):
+        full = docs.score(q)
+        assert np.allclose(full[idx[qi]], scores[qi])
+    assert np.all(scores[2] == 0)
+
+
+def test_score_batch_topk_on_slice(docs):
+    sliced = docs[::2]
+    scores, idx = sliced.score_batch(["bar"], top_k=4)
+    full = sliced.score("bar")
+    assert np.allclose(full[idx[0]], scores[0])
