@@ -152,13 +152,3 @@ def popcount64(arr: np.ndarray) -> np.ndarray:
     v = arr.view(np.uint16).reshape(len(arr), 4)
     return _POP16[v].sum(axis=1).astype(np.uint64)
 
-
-def group_reduce_by_key(
-    keys: np.ndarray, values: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Sum ``values`` over runs of equal (already sorted) ``keys``."""
-    if len(keys) == 0:
-        return keys, values
-    cuts = np.concatenate([[0], np.flatnonzero(keys[1:] != keys[:-1]) + 1])
-    sums = np.add.reduceat(values, cuts)
-    return keys[cuts], sums

@@ -41,7 +41,7 @@ import numpy as np
 
 from searcharray_tpu.index.device import DeviceIndex
 from searcharray_tpu.ops import kernels as K
-from searcharray_tpu.ops.encoding import KEY_SHIFT, LSB_BITS, LSB_MASK, PAD_WORD
+from searcharray_tpu.ops.encoding import LSB_BITS
 from searcharray_tpu.search.scoring import (
     _window_blocks,
     apply_similarity_device,
