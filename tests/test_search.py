@@ -225,3 +225,14 @@ def test_score_batch_topk_on_slice(docs):
     scores, idx = sliced.score_batch(["bar"], top_k=4)
     full = sliced.score("bar")
     assert np.allclose(full[idx[0]], scores[0])
+
+
+def test_reference_import_paths():
+    """Users of the reference import from these module paths."""
+    from searcharray_tpu.postings import SearchArray as SA2, Terms as T2
+    from searcharray_tpu.similarity import bm25_similarity as sim2
+    from searcharray_tpu.solr import edismax as ed2
+    from searcharray_tpu import SearchArray, Terms, TermsDtype, SetOfResults
+
+    assert SA2 is SearchArray and T2 is Terms
+    assert callable(sim2) and callable(ed2)
