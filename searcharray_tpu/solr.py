@@ -18,41 +18,48 @@ from searcharray_tpu.pandas_ext.array import SearchArray
 from searcharray_tpu.search.similarity import Similarity, default_bm25
 
 
+def _mm_int(value: str) -> int:
+    try:
+        return int(value)
+    except ValueError:
+        raise ValueError("Invalid 'mm' spec. Expecting an integer.")
+
+
 def parse_min_should_match(num_clauses: int, spec: str) -> int:
-    """Parse Solr's minimum-should-match spec into a clause count."""
+    """Parse Solr's minimum-should-match spec into a clause count.
 
-    def as_int(value, msg):
-        try:
-            return int(value)
-        except ValueError:
-            raise ValueError(msg)
-
-    result = num_clauses
+    Supports plain integers ("3"), negatives ("-2" = all but two),
+    percentages ("75%", "-25%"), and conditional chains ("2<2 5<3 7<40%":
+    each "n<expr" applies when there are more than n clauses).
+    Semantics follow Solr's SolrPluginUtils.calculateMinShouldMatch.
+    """
     spec = spec.strip()
 
+    # Conditional chain: evaluate left to right; the last clause whose
+    # bound is exceeded wins. <= bound means "use everything so far".
     if "<" in spec:
-        spec = re.sub(r"\s*<\s*", "<", spec)
-        for s in spec.split():
-            parts = s.split("<", 1)
-            if len(parts) < 2:
+        selected = num_clauses
+        for cond in re.sub(r"\s*<\s*", "<", spec).split():
+            bound_s, _, expr = cond.partition("<")
+            if not expr:
                 raise ValueError(
-                    "Invalid 'mm' spec: '" + s + "'. Expecting values before and after '<'"
+                    f"Invalid 'mm' spec: '{cond}'. "
+                    "Expecting values before and after '<'"
                 )
-            upper_bound = as_int(parts[0], "Invalid 'mm' spec. Expecting an integer.")
-            if num_clauses <= upper_bound:
-                return result
-            result = parse_min_should_match(num_clauses, parts[1])
-        return result
+            if num_clauses <= _mm_int(bound_s):
+                return selected
+            selected = parse_min_should_match(num_clauses, expr)
+        return selected
 
-    if "%" in spec:
-        percent = as_int(spec[:-1], "Invalid 'mm' spec. Expecting an integer.")
-        calc = (result * percent) * (1 / 100)
-        result = result + int(calc) if calc < 0 else int(calc)
+    if spec.endswith("%"):
+        pct = _mm_int(spec[:-1])
+        scaled = num_clauses * pct / 100
+        required = num_clauses + int(scaled) if scaled < 0 else int(scaled)
     else:
-        calc = as_int(spec, "Invalid 'mm' spec. Expecting an integer.")
-        result = result + calc if calc < 0 else calc
+        fixed = _mm_int(spec)
+        required = num_clauses + fixed if fixed < 0 else fixed
 
-    return min(num_clauses, max(result, 0))
+    return min(num_clauses, max(required, 0))
 
 
 def parse_field_boosts(field_lists: List[str]) -> dict:
