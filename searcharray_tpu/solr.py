@@ -161,7 +161,10 @@ def _edismax_field_centric(frame, query_fields, num_search_terms, search_terms,
 
 def _ngram_phase(searchable, search_terms, fields, similarity, ngram: int,
                  slop: int = 0) -> Tuple[Union[np.ndarray, List], str]:
-    """pf (ngram=0 means whole phrase), pf2 (ngram=2), pf3 (ngram=3) scoring."""
+    """pf (ngram=0 means whole phrase), pf2 (ngram=2), pf3 (ngram=3) scoring.
+
+    ``slop`` wires the Solr ps/ps2/ps3 parameters into the phrase phases
+    (the reference accepts but never applies them, solr.py:178-248)."""
     scores: List[np.ndarray] = []
     explain = ""
     for field, boost in fields.items():
@@ -175,8 +178,10 @@ def _ngram_phase(searchable, search_terms, fields, similarity, ngram: int,
         else:
             grams = [terms[i : i + ngram] for i in range(len(terms) - ngram + 1)]
         for gram in grams:
-            s = arr.score(gram, similarity=similarity[field]) * _boost_val(boost)
-            explain += f" ({field}:\"{' '.join(gram)}\")^{_boost_exp(boost)}"
+            s = arr.score(gram, similarity=similarity[field],
+                          slop=slop) * _boost_val(boost)
+            slop_exp = f"~{slop}" if slop else ""
+            explain += f" ({field}:\"{' '.join(gram)}\"{slop_exp})^{_boost_exp(boost)}"
             scores.append(s)
         if ngram == 2 and grams:
             # parity quirk: the reference double-appends the final bigram

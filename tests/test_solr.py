@@ -205,3 +205,15 @@ def test_different_analyzers_term_centric():
         max(title.score("bar")[i], body.score("b")[i]) for i in range(4)
     ]
     assert np.allclose(scores, expected)
+
+
+def test_ps_wires_slop_into_pf(frame):
+    # "foo ... baz": not an exact phrase in doc 0 ("foo bar bar baz"),
+    # but within slop 2 — ps must loosen the pf phase.
+    exact, _ = edismax(frame, q="foo baz", qf=["title"], pf=["title"])
+    sloppy, _ = edismax(frame, q="foo baz", qf=["title"], pf=["title"], ps=2)
+    assert sloppy[0] > exact[0]
+    # ps on a matching exact phrase must not reduce the score
+    tight, _ = edismax(frame, q="foo bar", qf=["title"], pf=["title"])
+    loose, _ = edismax(frame, q="foo bar", qf=["title"], pf=["title"], ps=3)
+    assert loose[0] >= tight[0]
