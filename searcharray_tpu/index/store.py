@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional
-
 import numpy as np
 
 from searcharray_tpu.index.builder import BuiltIndex, DocTermMatrix, TermPostings

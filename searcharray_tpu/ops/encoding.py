@@ -21,7 +21,7 @@ Host-side (numpy) encode/decode lives here; device kernels are in
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

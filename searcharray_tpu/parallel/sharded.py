@@ -18,8 +18,7 @@ This replaces the reference's latent ``key_partition`` hook
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

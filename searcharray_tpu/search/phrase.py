@@ -28,7 +28,6 @@ The whole query — slices, chain, min, similarity — is ONE dispatch.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Optional
 
 import numpy as np

@@ -140,11 +140,7 @@ def _pallas_term_fn(dev: DeviceIndex, bucket: int, kind: str, k1: float,
                     b: float, interpret: bool = False):
     import jax
 
-    from searcharray_tpu.ops.pallas.score import (
-        WORD_TILE,
-        block_bounds,
-        score_term_pallas,
-    )
+    from searcharray_tpu.ops.pallas.score import block_bounds, score_term_pallas
 
     doc_block = _PALLAS_DOC_BLOCK
     blocks_per_doc = -(-int(max(1.0, dev._max_doc_len)) // LSB_BITS)

@@ -7,7 +7,7 @@ traces) and per-buffer device-memory accounting.
 from __future__ import annotations
 
 import contextlib
-from typing import Dict, Optional
+from typing import Dict
 
 
 @contextlib.contextmanager
