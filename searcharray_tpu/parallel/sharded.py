@@ -210,7 +210,9 @@ def _sharded_phrase_fn(idx: ShardedIndex, buckets, tids_key, split,
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    key = (id(idx), buckets, tids_key, split, kind, k1, b)
+    key = ("phrase", idx.corpus_size, idx.max_shard_docs, idx.blk_bits,
+           idx.num_shards, float(idx.avg_doc_length), buckets, tids_key,
+           split, kind, k1, b)
     fn = _phrase_shard_cache.get(key)
     if fn is not None:
         return fn
@@ -274,7 +276,11 @@ def _sharded_score(idx: ShardedIndex, tids_np: np.ndarray, bucket: int,
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    key = (id(idx), tids_np.shape, bucket, k1, b)
+    # structural key (id() could collide after GC and reuse a kernel
+    # whose closure baked different corpus constants)
+    key = ("score", idx.corpus_size, idx.max_shard_docs, idx.blk_bits,
+           idx.num_shards, float(idx.avg_doc_length), tids_np.shape, bucket,
+           k1, b)
     fn = _score_cache.get(key)
     if fn is None:
         fn = _build_sharded_score(idx, tids_np.shape[1], bucket, k1, b)
