@@ -201,6 +201,108 @@ class ShardedIndex:
         return fn(self.hdrs, self.pays, self.doc_lens, offs_d, ns_d,
                   np.float32(idf))
 
+    def span_freqs(self, tokens: Sequence[str], slop: int, k1: float = 1.2,
+                   b: float = 0.75, kind: str = "none"):
+        """Slop-phrase frequencies (or BM25 scores) corpus-wide, per shard
+        under shard_map (windows never cross documents, so slop search is
+        shard-local like exact phrases)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if any(t not in self.vocab for t in tokens):
+            return jnp.zeros(self.corpus_size, dtype=jnp.float32)
+        tids = [self.vocab.get_term_id(t) for t in tokens]
+        uniq: list = []
+        mults: list = []
+        for t in tids:
+            if t in uniq:
+                mults[uniq.index(t)] += 1
+            else:
+                uniq.append(t)
+                mults.append(1)
+        buckets = tuple(
+            bucket_of(int(self._host_lengths[:, t].max(initial=1)))
+            for t in uniq
+        )
+        lengths = [int(self._host_lengths[:, t].sum()) for t in uniq]
+        anchor_i = int(np.argmin(lengths))
+        if kind == "none":
+            idf = 0.0
+        else:
+            from searcharray_tpu.search.scoring import host_idf
+
+            idf = float(host_idf(kind, [int(self.doc_freqs[t]) for t in tids],
+                                 self.corpus_size, self.avg_doc_length))
+        fn = _sharded_span_fn(self, buckets, tuple(mults), anchor_i,
+                              len(tids), slop, kind, k1, b)
+        offs = np.stack([np.asarray(self.offsets)[:, t] for t in uniq], axis=1)
+        ns = np.stack([np.asarray(self.lengths)[:, t] for t in uniq], axis=1)
+        sh = NamedSharding(self.mesh, P("docs", None))
+        return fn(self.hdrs, self.pays, self.doc_lens,
+                  jax.device_put(offs, sh), jax.device_put(ns, sh),
+                  np.float32(idf))
+
+
+_span_shard_cache: dict = {}
+
+
+def _sharded_span_fn(idx: ShardedIndex, buckets, mults, anchor_i, n_terms,
+                     slop: int, kind: str, k1: float, b: float):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    key = ("span", idx.corpus_size, idx.max_shard_docs, idx.blk_bits,
+           idx.num_shards, float(idx.avg_doc_length), buckets, mults,
+           anchor_i, n_terms, slop, kind, k1, b)
+    fn = _span_shard_cache.get(key)
+    if fn is not None:
+        return fn
+
+    from searcharray_tpu.ops.encoding import LSB_BITS
+    from searcharray_tpu.search.spans import _span_impl
+
+    N_shard = idx.max_shard_docs
+    blk_bits = idx.blk_bits
+    avgdl = np.float32(max(idx.avg_doc_length, 1e-38))
+    w = n_terms + slop - 1
+    C = -(-w // LSB_BITS)
+    T = len(buckets)
+
+    def local(hdr_s, pay_s, doc_lens_s, offs_s, ns_s, idf):
+        hdr_s, pay_s = hdr_s[0], pay_s[0]
+        doc_lens_s = doc_lens_s[0]
+        offs_s, ns_s = offs_s[0], ns_s[0]
+        offs = tuple(offs_s[i] for i in range(T))
+        ns = tuple(ns_s[i] for i in range(T))
+        out = _span_impl(
+            hdr_s, pay_s, offs, ns, doc_lens_s, idf, avgdl, 0, 0,
+            buckets=buckets, anchor_i=anchor_i, mults=mults, w=w, C=C,
+            num_docs=N_shard, windowed=False, kind=kind, k1=k1, b=b,
+            blk_bits=blk_bits,
+        )
+        return out[None]
+
+    mapped = jax.shard_map(
+        local,
+        mesh=idx.mesh,
+        in_specs=(P("docs", None), P("docs", None), P("docs", None),
+                  P("docs", None), P("docs", None), P()),
+        out_specs=P("docs", None),
+    )
+
+    num_real = idx.corpus_size
+
+    @jax.jit
+    def run(hdrs, pays, doc_lens, offs, ns, idf):
+        out = mapped(hdrs, pays, doc_lens, offs, ns, idf)
+        return out.reshape(-1)[:num_real]
+
+    _span_shard_cache[key] = run
+    return run
+
+
 _phrase_shard_cache: dict = {}
 
 

@@ -97,3 +97,22 @@ def test_sharded_phrase_trigram(corpus, sharded, single):
 def test_sharded_phrase_missing_term(sharded):
     got = np.asarray(sharded.phrase_freqs(["alpha", "notthere"]))
     assert np.all(got == 0)
+
+
+def test_sharded_slop_parity(corpus, sharded, single):
+    got = np.asarray(sharded.span_freqs(["alpha", "beta"], slop=2))
+    want = single.termfreqs(["alpha", "beta"], slop=2)
+    assert np.array_equal(got, want)
+
+
+def test_sharded_slop_score_parity(corpus, sharded, single):
+    got = np.asarray(sharded.span_freqs(["alpha", "gamma"], slop=3,
+                                        kind="bm25"))
+    want = single.score(["alpha", "gamma"], slop=3)
+    assert np.allclose(got, want, rtol=1e-5)
+
+
+def test_sharded_slop_repeated_term(corpus, sharded, single):
+    got = np.asarray(sharded.span_freqs(["alpha", "alpha"], slop=2))
+    want = single.termfreqs(["alpha", "alpha"], slop=2)
+    assert np.array_equal(got, want)
