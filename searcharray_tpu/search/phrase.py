@@ -381,6 +381,127 @@ def _run_chain(index, spans, tids, direction, mbargs, windowed,
 COMPOSITE_MODE = "auto"
 
 
+# ---------------------------------------------------------------------------
+# Merged-space chain: ONE sort for the whole phrase.
+#
+# All T term slices are concatenated with their query position as a
+# secondary sort key and sorted once by (header, qpos).  Then every bigram
+# step is pure shifted compares on the merged arrays:
+#   * the same-header lhs partner of an rhs entry is its immediate
+#     predecessor (qpos i is the largest possible key below i+1);
+#   * the adjacent-block lhs partner (header-1) is within lookback T
+#     (at header-1 only qpos > i entries can intervene, at the rhs header
+#     only qpos <= i entries can);
+#   * continuations are in-place payload updates at the rhs entries — no
+#     per-step compaction scatters, no per-step sorts.
+# Counts still need a per-step dense per-doc sum (Pallas segment-sum).
+# ---------------------------------------------------------------------------
+def _merged_chain(planes, tids, direction, num_docs, blk_bits, segsum_wpb):
+    import jax
+    import jax.numpy as jnp
+
+    T = len(planes)
+    M = sum(p[0].shape[0] for p in planes)
+    if direction == "l2r":
+        order = list(range(T))
+    else:
+        # run the chain over reversed query positions so every step is the
+        # uniform "rhs consumes carry" form; cont bits mirror below
+        order = list(range(T - 1, -1, -1))
+
+    ch = jnp.concatenate([planes[i][0] for i in order])
+    cq = jnp.concatenate(
+        [jnp.full(planes[i][0].shape[0], j, jnp.int32)
+         for j, i in enumerate(order)]
+    )
+    cpay = jnp.concatenate([planes[i][1] for i in order])
+    sh, sq, sp = jax.lax.sort((ch, cq, cpay), num_keys=2)
+
+    def back(arr, k, fill):
+        return jnp.concatenate([jnp.full((k,), fill, arr.dtype), arr[:-k]])
+
+    def fwd(arr, k, fill):
+        return jnp.concatenate([arr[k:], jnp.full((k,), fill, arr.dtype)])
+
+    doc_keys = (sh >> jnp.int32(blk_bits)).astype(jnp.int32)
+    lsb = jnp.uint32(_LSB32)
+    top = jnp.uint32(_TOP_BIT)
+    cp = sp
+    denses = []
+    for step in range(T - 1):
+        is_rhs = sq == step + 1
+        real = is_rhs & (sh != PAD_HDR32)
+        same_term = tids[order[step + 1]] == tids[order[step]] and step == 0
+
+        # inner partner: immediate predecessor with same header, qpos step
+        in_h = back(sh, 1, jnp.int32(-2))
+        in_q = back(sq, 1, jnp.int32(-1))
+        in_cp = back(cp, 1, jnp.uint32(0))
+        inner = jnp.where((in_h == sh) & (in_q == step), in_cp, jnp.uint32(0))
+        # adjacency partner (qpos step): at header-1 for l2r (lookback;
+        # up to T-1-step entries with qpos>step at h-1 plus step+1 entries
+        # with qpos<=step at h can intervene -> partner within lookback
+        # T+1) or at header+1 for the reversed chain (lookahead, mirrored)
+        adj_pay = jnp.uint32(0)
+        found = jnp.zeros_like(is_rhs)
+        for k in range(1, T + 2):
+            if direction == "l2r":
+                kh = back(sh, k, jnp.int32(-2))
+                kq = back(sq, k, jnp.int32(-1))
+                kc = back(cp, k, jnp.uint32(0))
+                hit = (kh == sh - 1) & (kq == step) & ~found
+            else:
+                kh = fwd(sh, k, jnp.int32(-2))
+                kq = fwd(sq, k, jnp.int32(-1))
+                kc = fwd(cp, k, jnp.uint32(0))
+                hit = (kh == sh + 1) & (kq == step) & ~found
+            adj_pay = jnp.where(hit, kc, adj_pay)
+            found = found | hit
+
+        if direction == "l2r":
+            if same_term:
+                counts_w, cont_bits = _same_term_counts(sp)
+                counts_w = jnp.where(real, counts_w, 0.0)
+            else:
+                overlap = jnp.where(real, inner & (sp >> 1), jnp.uint32(0))
+                counts_w = jax_popcount(overlap).astype(jnp.float32)
+                cont_bits = (overlap << 1) & lsb
+            adj = real & (((adj_pay >> np.uint32(LSB_BITS - 1)) & 1) == 1) & (
+                (sp & 1) == 1
+            )
+            adj_bit = jnp.where(adj, jnp.uint32(1), jnp.uint32(0))
+        else:
+            # reversed-order r2l: the "rhs" here is the earlier query term;
+            # its payload is one position BEFORE the carry, so roles flip
+            if same_term:
+                counts_w, _ = _same_term_counts(sp)
+                counts_w = jnp.where(real, counts_w, 0.0)
+                cont_bits = sp & (sp >> 1)
+            else:
+                overlap = jnp.where(real, sp & (inner >> 1), jnp.uint32(0))
+                counts_w = jax_popcount(overlap).astype(jnp.float32)
+                cont_bits = overlap
+            adj = real & ((adj_pay & 1) == 1) & (
+                ((sp >> np.uint32(LSB_BITS - 1)) & 1) == 1
+            )
+            adj_bit = jnp.where(adj, top, jnp.uint32(0))
+
+        counts = jnp.where(real, counts_w + adj.astype(jnp.float32), 0.0)
+        if segsum_wpb is not None:
+            from searcharray_tpu.ops.pallas.score import segment_sum_pallas
+
+            dense = segment_sum_pallas(doc_keys, counts, num_docs=num_docs,
+                                       max_words_per_block=min(M, segsum_wpb))
+        else:
+            dense = jnp.zeros(num_docs, jnp.float32).at[doc_keys].add(
+                counts, mode="drop"
+            )
+        denses.append(dense)
+        if step != T - 2:
+            cp = jnp.where(real, cont_bits | adj_bit, cp)
+    return denses
+
+
 def _plan(n: int, split: int):
     """Chain layout, parity with compute_phrase_freqs (middle_out.py:154-168)."""
     if split <= 1:
@@ -424,7 +545,10 @@ def _chain_planes(planes, tids, direction, num_docs, blk_bits,
 
 def _composite_fn(buckets, tids, split, num_docs, blk_bits, windowed,
                   kind, k1, b, segsum_wpb=None):
-    """One jit for the entire phrase query (slices+chain+min+similarity)."""
+    """One jit for the entire phrase query (slices+chain+min+similarity).
+
+    Chains of 3+ terms use the merged-space formulation (one sort for the
+    whole chain); bigrams keep the pairwise merge (identical cost)."""
 
     def build():
         def f(hdrs, pays, doc_lens, idf, avgdl, min_blk, max_blk, offs, ns):
@@ -438,10 +562,14 @@ def _composite_fn(buckets, tids, split, num_docs, blk_bits, windowed,
             ]
             denses = []
             for direction, idxs in _plan(len(buckets), split):
-                denses += _chain_planes(
-                    [planes[i] for i in idxs], [tids[i] for i in idxs],
-                    direction, num_docs, blk_bits, segsum_wpb,
-                )
+                sub = [planes[i] for i in idxs]
+                stids = [tids[i] for i in idxs]
+                if len(sub) >= 3:
+                    denses += _merged_chain(sub, stids, direction, num_docs,
+                                            blk_bits, segsum_wpb)
+                else:
+                    denses += _chain_planes(sub, stids, direction, num_docs,
+                                            blk_bits, segsum_wpb)
             freqs = denses[0]
             for d in denses[1:]:
                 freqs = jnp.minimum(freqs, d)
