@@ -53,7 +53,7 @@ _BLK_FIELD = (1 << 18) - 1  # block bits within the 46-bit header
 
 def _span_impl(hdrs, pays, offs, ns, doc_lens, idf, avgdl, min_blk, max_blk,
                *, buckets, anchor_i, mults, w, C, num_docs, windowed,
-               kind, k1, b, blk_bits):
+               kind, k1, b, blk_bits, segsum_wpb=None):
     import jax.numpy as jnp
 
     mb = (min_blk, max_blk) if windowed else (None, None)
@@ -114,9 +114,15 @@ def _span_impl(hdrs, pays, offs, ns, doc_lens, idf, avgdl, min_blk, max_blk,
     counts = jnp.where(a_valid, jnp.sum(covered, axis=1).astype(jnp.float32),
                        0.0)
     keys = (a_hdr >> jnp.int32(blk_bits)).astype(jnp.int32)
-    freqs = jnp.zeros(num_docs, dtype=jnp.float32).at[keys].add(
-        counts, mode="drop"
-    )
+    if segsum_wpb is not None:
+        from searcharray_tpu.ops.pallas.score import segment_sum_pallas
+
+        freqs = segment_sum_pallas(keys, counts, num_docs=num_docs,
+                                   max_words_per_block=min(A, segsum_wpb))
+    else:
+        freqs = jnp.zeros(num_docs, dtype=jnp.float32).at[keys].add(
+            counts, mode="drop"
+        )
     return apply_similarity_device(kind, freqs, doc_lens, idf, avgdl, k1, b)
 
 
@@ -164,9 +170,12 @@ def span_freqs_dense(
     if idf is None:
         idf = host_idf(kind, [index.doc_freqs[t] for t in term_ids],
                        index.corpus_size, index.avg_doc_length)
+    from searcharray_tpu.search.phrase import _segsum_wpb
+
+    segsum_wpb = _segsum_wpb(index)
 
     key = ("span", index.corpus_size, index.blk_bits, w, C, tuple(mults),
-           buckets, anchor_i, windowed, kind, k1, b)
+           buckets, anchor_i, windowed, kind, k1, b, segsum_wpb)
     fn = _span_cache.get(key)
     if fn is None:
         fn = jax.jit(
@@ -183,6 +192,7 @@ def span_freqs_dense(
                 k1=k1,
                 b=b,
                 blk_bits=index.blk_bits,
+                segsum_wpb=segsum_wpb,
             )
         )
         _span_cache[key] = fn
