@@ -21,11 +21,23 @@ PAD_HDR32 = (1 << 31) - 16
 
 
 def bucket_of(n: int) -> int:
-    """Power-of-two padded size for a posting slice of length n."""
-    b = MIN_BUCKET
-    while b < n:
-        b <<= 1
-    return b
+    """Padded size for a posting slice of length n.
+
+    Quarter-power-of-two steps (1, 1.25, 1.5, 1.75 times 2^k): at most 25%
+    padding instead of 2x, which directly shrinks the per-step sorts in the
+    phrase chain; still a small closed set of shapes for the compile cache.
+    """
+    if n <= MIN_BUCKET:
+        return MIN_BUCKET
+    p = MIN_BUCKET
+    while p < n:
+        p <<= 1
+    half = p >> 1
+    for frac in (5, 6, 7):
+        cand = (half * frac) >> 2
+        if n <= cand:
+            return cand
+    return p
 
 
 def compress_planes(words: np.ndarray, blk_bits: int):
