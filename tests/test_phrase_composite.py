@@ -98,3 +98,22 @@ def test_composite_matches_stepped(corpus, phrase):
         phrase_mod.COMPOSITE_MODE = old
     assert np.array_equal(stepped, comp)
     assert np.allclose(stepped_score, comp_score)
+
+
+def test_composite_windowed_phrase():
+    corpus = ["foo bar bar baz " + " ".join(["boz"] * 25) + " foo bar gap",
+              "data2", "data3 bar"] * 10
+    docs = SearchArray.index(corpus)
+    old = phrase_mod.COMPOSITE_MODE
+    try:
+        for phrase, win in ((["foo", "bar"], dict(min_posn=0, max_posn=17)),
+                            (["foo", "bar"], dict(min_posn=18, max_posn=None)),
+                            (["foo", "bar", "gap"], dict(min_posn=18,
+                                                         max_posn=None))):
+            phrase_mod.COMPOSITE_MODE = "never"
+            want = docs.termfreqs(phrase, **win)
+            phrase_mod.COMPOSITE_MODE = "always"
+            got = docs.termfreqs(phrase, **win)
+            assert np.array_equal(got, want), (phrase, win)
+    finally:
+        phrase_mod.COMPOSITE_MODE = old
