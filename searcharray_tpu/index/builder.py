@@ -436,6 +436,79 @@ def build_index(
     )
 
 
+def merge_built(parts: List[BuiltIndex]) -> BuiltIndex:
+    """Concatenate indexes along the doc axis, vectorised.
+
+    Vocabularies are unioned (term ids of later parts remapped), doc keys
+    of later parts are rebased, and per-term posting runs are re-gathered
+    into one term-major CSR — no per-row Terms materialisation (the
+    reference's concat path, `postings.py:547-549`, re-tokenizes rows).
+    """
+    if len(parts) == 1:
+        return parts[0]
+    vocab = parts[0].vocab.copy()
+    batches: List[_BatchResult] = []
+    doc_base = 0
+    for part in parts:
+        post = part.postings
+        present = np.flatnonzero(post.lengths > 0)
+        if len(part.vocab) == len(vocab) and part.vocab.compatible(vocab):
+            tmap = None
+            term_ids = present.astype(np.int64)
+        else:
+            tmap = vocab.add_batch(
+                [part.vocab.get_term(i) for i in range(len(part.vocab))]
+            )
+            term_ids = tmap[present]
+        words = post.data + (np.uint64(doc_base) << np.uint64(enc.KEY_SHIFT))
+        bounds = np.concatenate(
+            [post.offsets[present], [len(post.data)]]
+        ).astype(np.int64)
+        # term ids must be ascending within a batch for the repack's
+        # segment sort; remapping preserves order only for compatible
+        # vocabs, so sort the segments otherwise
+        if tmap is not None and not np.all(np.diff(term_ids) > 0):
+            order = np.argsort(term_ids, kind="stable")
+            starts = bounds[:-1][order]
+            lens = np.diff(bounds)[order]
+            words = words[_concat_ranges(starts, lens)]
+            term_ids = term_ids[order]
+            bounds = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        dt_cols = (
+            part.doc_term.cols if tmap is None
+            else tmap[part.doc_term.cols].astype(np.uint32)
+        )
+        batches.append(
+            _BatchResult(
+                term_ids=term_ids,
+                words=words,
+                bounds=bounds,
+                doc_lens=part.doc_lens,
+                dt_cols=dt_cols,
+                dt_rows=part.doc_term.rows,
+            )
+        )
+        doc_base += part.corpus_size
+
+    postings = _repack(batches, len(vocab))
+    doc_lens = np.concatenate([b.doc_lens for b in batches])
+    dt_cols = np.concatenate([b.dt_cols for b in batches])
+    row_parts = [np.zeros(1, dtype=np.int64)]
+    base = 0
+    for b in batches:
+        row_parts.append(b.dt_rows[1:] + base)
+        base += b.dt_rows[-1]
+    doc_term = DocTermMatrix(dt_cols, np.concatenate(row_parts))
+    avg_dl = float(np.mean(doc_lens)) if len(doc_lens) else 0.0
+    return BuiltIndex(
+        postings=postings,
+        doc_term=doc_term,
+        vocab=vocab,
+        doc_lens=doc_lens,
+        avg_doc_length=avg_dl,
+    )
+
+
 def build_index_from_terms(rows: Iterable, terms_cls) -> BuiltIndex:
     """Build from already-tokenised Terms/dict rows (parity: indexing.py:298)."""
     vocab = Vocabulary()

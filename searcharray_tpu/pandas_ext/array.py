@@ -478,6 +478,20 @@ class SearchArray(ExtensionArray):
 
     @classmethod
     def _concat_same_type(cls, to_concat):
+        to_concat = list(to_concat)
+        # Fast path: full-corpus views concatenate by merging their built
+        # indexes directly (vectorised, no per-row rebuild).
+        if all(
+            not ea.subset and len(ea.rows) == ea.corpus_size
+            and ea.tokenizer is to_concat[0].tokenizer
+            for ea in to_concat
+        ):
+            from searcharray_tpu.index.builder import merge_built
+
+            new = SearchArray([], tokenizer=to_concat[0].tokenizer,
+                              avoid_copies=to_concat[0].avoid_copies)
+            new._attach(merge_built([ea._built for ea in to_concat]))
+            return new
         data = np.concatenate([ea[:] for ea in to_concat])
         return SearchArray(data, tokenizer=to_concat[0].tokenizer)
 

@@ -134,3 +134,33 @@ def test_getitem_row_roundtrip(configs, corpus):
     for tok in set(toks):
         posns = row.positions(tok)
         assert all(toks[p] == tok for p in posns)
+
+
+def test_vectorized_concat_matches_rebuild():
+    import pandas as pd
+
+    a = SearchArray.index(["foo bar baz", "qux foo", ""] * 7)
+    b = SearchArray.index(["zig foo zag", "bar bar"] * 5)
+    merged = SearchArray._concat_same_type([a, b])
+    assert len(merged) == len(a) + len(b)
+    # scores must match per-part scoring with combined corpus stats
+    rebuilt = SearchArray(np.concatenate([np.asarray(a), np.asarray(b)]))
+    for q in ("foo", "bar", "zig", ["foo", "bar"]):
+        got = merged.termfreqs(q)
+        want = rebuilt.termfreqs(q)
+        assert np.array_equal(got, want), q
+    assert merged.docfreq("foo") == a.docfreq("foo") + b.docfreq("foo")
+    # pd.concat end to end
+    df = pd.concat(
+        [pd.DataFrame({"t": a}), pd.DataFrame({"t": b})], ignore_index=True
+    )
+    assert np.array_equal(df["t"].array.termfreqs("foo"), merged.termfreqs("foo"))
+
+
+def test_vectorized_concat_disjoint_vocabs():
+    a = SearchArray.index(["alpha beta", "beta gamma"])
+    b = SearchArray.index(["delta alpha", "epsilon"])
+    merged = SearchArray._concat_same_type([a, b])
+    assert np.array_equal(merged.termfreqs("alpha"), [1, 0, 1, 0])
+    assert np.array_equal(merged.termfreqs("epsilon"), [0, 0, 0, 1])
+    assert np.array_equal(merged.termfreqs(["delta", "alpha"]), [0, 0, 1, 0])
