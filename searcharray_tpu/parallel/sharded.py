@@ -161,6 +161,31 @@ class ShardedIndex:
         out = _sharded_score(self, tids, bucket, float(k1), float(b))
         return out[:Q]
 
+    def topk_queries(self, queries: Sequence[Sequence[str]], k: int = 10,
+                     k1: float = 1.2, b: float = 0.75):
+        """Distributed ranked retrieval: per-query global top-k.
+
+        Scores stay sharded; each doc shard reduces to its local top-k and
+        only S*k candidates per query are combined globally — the classic
+        distributed top-k, so no dense [Q, N] vector is ever gathered.
+        Returns host (scores[Q, k], global doc indices[Q, k]).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        k = min(k, self.corpus_size)
+        dense = self.score_queries(queries, k1=k1, b=b)  # [Q, N] sharded
+        key = ("topk", dense.shape, k)
+        fn = _score_cache.get(key)
+        if fn is None:
+            # lax.top_k over the doc axis runs shard-local under the output
+            # sharding; XLA inserts the cross-shard candidate combine.
+            fn = jax.jit(lambda d: jax.lax.top_k(d, k))
+            _score_cache[key] = fn
+        scores, idx = fn(dense)
+        return (np.asarray(scores, dtype=np.float32),
+                np.asarray(idx, dtype=np.int64))
+
 
     def phrase_freqs(self, tokens: Sequence[str], k1: float = 1.2,
                      b: float = 0.75, kind: str = "none"):

@@ -116,3 +116,13 @@ def test_sharded_slop_repeated_term(corpus, sharded, single):
     got = np.asarray(sharded.span_freqs(["alpha", "alpha"], slop=2))
     want = single.termfreqs(["alpha", "alpha"], slop=2)
     assert np.array_equal(got, want)
+
+
+def test_sharded_topk(single, sharded):
+    scores, idx = sharded.topk_queries([["alpha"], ["beta", "gamma"]], k=5)
+    assert scores.shape == (2, 5) and idx.shape == (2, 5)
+    full_a = single.score("alpha")
+    assert np.allclose(full_a[idx[0]], scores[0], rtol=1e-5)
+    assert np.isclose(scores[0][0], full_a.max(), rtol=1e-5)
+    full_b = single.score("beta") + single.score("gamma")
+    assert np.allclose(full_b[idx[1]], scores[1], rtol=1e-5)
