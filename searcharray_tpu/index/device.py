@@ -51,6 +51,30 @@ class DeviceIndex:
         self.hdrs = jnp.asarray(np.concatenate([hdr, pad_h]))
         self.pays = jnp.asarray(np.concatenate([pay, pad_p]))
         self.doc_lens = jnp.asarray(built.doc_lens, dtype=jnp.float32)
+        self._block_word_max = self._per_term_block_max(built, 1024)
+
+    @staticmethod
+    def _per_term_block_max(built: BuiltIndex, doc_block: int) -> np.ndarray:
+        """Per term: max posting words falling in any doc_block-sized doc
+        range — the tight tile bound for the Pallas block-reduce scorer.
+        One vectorised pass (words are (term, doc)-sorted, so words of one
+        term in one doc block form a contiguous run)."""
+        from searcharray_tpu.ops import encoding as enc
+
+        post = built.postings
+        W = len(post.data)
+        V = post.num_terms
+        out = np.zeros(V, dtype=np.int64)
+        if W == 0:
+            return out
+        docs_blk = enc.keys_of(post.data).astype(np.int64) // doc_block
+        tid = np.repeat(np.arange(V, dtype=np.int64), post.lengths)
+        change = np.ones(W, dtype=bool)
+        change[1:] = (tid[1:] != tid[:-1]) | (docs_blk[1:] != docs_blk[:-1])
+        starts = np.flatnonzero(change)
+        run_len = np.diff(np.concatenate([starts, [W]]))
+        np.maximum.at(out, tid[starts], run_len)
+        return out
 
     def term_span(self, term_id: int) -> Tuple[int, int, int]:
         """(offset, length, bucket) for a term's posting slice."""

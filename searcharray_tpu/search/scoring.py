@@ -137,14 +137,15 @@ def _use_pallas(n: int, windowed: bool) -> bool:
 
 
 def _pallas_term_fn(dev: DeviceIndex, bucket: int, kind: str, k1: float,
-                    b: float, interpret: bool = False):
+                    b: float, interpret: bool = False, maxw=None):
     import jax
 
     from searcharray_tpu.ops.pallas.score import block_bounds, score_term_pallas
 
     doc_block = _PALLAS_DOC_BLOCK
-    blocks_per_doc = -(-int(max(1.0, dev._max_doc_len)) // LSB_BITS)
-    maxw = min(bucket, doc_block * (blocks_per_doc + 1))
+    if maxw is None:
+        blocks_per_doc = -(-int(max(1.0, dev._max_doc_len)) // LSB_BITS)
+        maxw = min(bucket, doc_block * (blocks_per_doc + 1))
     key = ("pallas_term", dev.corpus_size, dev.blk_bits, bucket, kind, k1, b,
            doc_block, maxw, interpret)
     fn = _kernel_cache.get(key)
@@ -195,7 +196,13 @@ def score_term_dense(index: DeviceIndex, term_id: int, kind: str = "bm25",
     if kind in ("none", "bm25", "bm25_legacy", "bm25_impact") and _use_pallas(
         n, windowed
     ):
-        fn = _pallas_term_fn(index, bucket, kind, k1, b)
+        # tight per-term tile bound, rounded up to a tile so compile
+        # variants stay bounded
+        from searcharray_tpu.ops.pallas.score import WORD_TILE
+
+        maxw = int(index._block_word_max[term_id])
+        maxw = -(-max(1, maxw) // WORD_TILE) * WORD_TILE
+        fn = _pallas_term_fn(index, bucket, kind, k1, b, maxw=maxw)
         return fn(index.hdrs, index.pays, off, n, index.doc_lens,
                   np.float32(idf), avgdl)
     fn = _get_fused(index, bucket, kind, k1, b)
