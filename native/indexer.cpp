@@ -36,9 +36,12 @@ struct TokenizerOpts {
   int32_t max_posn;  // truncate docs to this many tokens (0 = no limit)
 };
 
+// Python str.split() whitespace, ASCII subset: also 0x1c-0x1f (FS/GS/RS/US).
+// Non-ASCII docs never reach this tokenizer (builder routes them to the
+// Python path), so the ASCII set is exact here.
 inline bool is_ws(unsigned char c) {
   return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
-         c == '\v';
+         c == '\v' || (c >= 0x1c && c <= 0x1f);
 }
 
 inline bool is_punct_ascii(unsigned char c) {

@@ -8,14 +8,18 @@ single-chip and multi-chip (sharded) TPU execution.
 """
 import jax as _jax
 
-# Posting words are uint64 (28-bit doc key | 18-bit block | 18-bit bitmap);
-# device kernels decompose to uint32 internally but storage and header
-# alignment use 64-bit integers.
-_jax.config.update("jax_enable_x64", True)
+# Posting words are stored host-side as numpy uint64 (28-bit doc key |
+# 18-bit block | 18-bit bitmap); device kernels decompose them into 32-bit
+# planes, so the library does NOT need jax_enable_x64 and no longer flips
+# it globally (doing so silently changed dtypes of the host application's
+# own JAX code).  Set SEARCHARRAY_TPU_X64=1 to restore the old behavior.
+import os as _os
+
+if _os.environ.get("SEARCHARRAY_TPU_X64") == "1":  # pragma: no cover
+    _jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: query-kernel shapes recur across processes
 # and XLA compiles are expensive (seconds each on tunneled TPUs).
-import os as _os
 
 _cache_dir = _os.environ.get(
     "SEARCHARRAY_TPU_CACHE",

@@ -195,26 +195,58 @@ def _tokenize_docs_python(docs, tokenizer, vocab, truncate):
     return global_of_local[local_ids], lens
 
 
-def _tokenize_docs_native(docs, spec, vocab, truncate):
-    """C++ tokenizer path (native/indexer.cpp) for spec'd tokenizers."""
+def _tokenize_docs_native(docs, spec, tokenizer, vocab, truncate):
+    """C++ tokenizer path (native/indexer.cpp) for spec'd tokenizers.
+
+    The native tokenizer is byte-oriented: its whitespace/case rules are
+    exact only for ASCII.  Non-ASCII docs (unicode whitespace like \\xa0,
+    accented case folding) are routed through the Python ``tokenizer`` and
+    stitched back in doc order, so results never depend on whether the
+    native library loaded.
+    """
     from searcharray_tpu.index import native as native_mod
 
+    if not native_mod.native_available():
+        return None
     lowercase, strip_punct = spec
-    res = native_mod.tokenize_corpus(
-        [d if isinstance(d, str) and d == d else "" for d in docs],
-        lowercase=lowercase, strip_punct=strip_punct,
-        max_posn=enc.MAX_POSN if truncate else 0,
-    )
+    clean = [d if isinstance(d, str) and d == d else "" for d in docs]
+    na_idx = [i for i, d in enumerate(clean) if not d.isascii()]
+    if not na_idx:
+        res = native_mod.tokenize_corpus(
+            clean, lowercase=lowercase, strip_punct=strip_punct,
+            max_posn=enc.MAX_POSN if truncate else 0,
+        )
+        if res is None:
+            return None
+        local_ids, lens32, local_vocab = res
+        lens = lens32.astype(np.int64)
+        if not truncate and np.any(lens > enc.MAX_POSN):
+            raise ValueError(
+                f"Document length exceeds maximum of {enc.MAX_POSN}")
+        if len(local_ids) == 0:
+            return np.empty(0, dtype=np.int64), lens
+        global_of_local = vocab.add_batch(local_vocab)
+        return global_of_local[local_ids], lens
+
+    # Mixed batch: native for the ASCII docs, Python for the rest.
+    a_idx = np.asarray(
+        [i for i, d in enumerate(clean) if d.isascii()], dtype=np.int64)
+    na_idx = np.asarray(na_idx, dtype=np.int64)
+    res = _tokenize_docs_native(
+        [clean[i] for i in a_idx], spec, tokenizer, vocab, truncate)
     if res is None:
         return None
-    local_ids, lens32, local_vocab = res
-    lens = lens32.astype(np.int64)
-    if not truncate and np.any(lens > enc.MAX_POSN):
-        raise ValueError(f"Document length exceeds maximum of {enc.MAX_POSN}")
-    if len(local_ids) == 0:
-        return np.empty(0, dtype=np.int64), lens
-    global_of_local = vocab.add_batch(local_vocab)
-    return global_of_local[local_ids], lens
+    ids_a, lens_a = res
+    ids_b, lens_b = _tokenize_docs_python(
+        [clean[i] for i in na_idx], tokenizer, vocab, truncate)
+    lens = np.zeros(len(clean), dtype=np.int64)
+    lens[a_idx] = lens_a
+    lens[na_idx] = lens_b
+    out = np.empty(int(lens.sum()), dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    out[_concat_ranges(starts[a_idx], lens_a)] = ids_a
+    out[_concat_ranges(starts[na_idx], lens_b)] = ids_b
+    return out, lens
 
 
 def _tokenize_batch(
@@ -228,7 +260,8 @@ def _tokenize_batch(
     result = None
     if spec is not None:
         try:
-            result = _tokenize_docs_native(docs, spec, vocab, truncate)
+            result = _tokenize_docs_native(docs, spec, tokenizer, vocab,
+                                           truncate)
         except UnicodeDecodeError:
             result = None
     if result is None:

@@ -7,6 +7,7 @@ the numpy builder path stays fully functional.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -16,17 +17,29 @@ import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
 _SRC = os.path.join(_REPO_ROOT, "native", "indexer.cpp")
-_SO = os.path.join(_REPO_ROOT, "native", "libsearcharray_native.so")
 
 _lib = None
 _lib_lock = threading.Lock()
 _lib_failed = False
 
 
-def _build_so() -> bool:
+def _so_path() -> str:
+    """Shared-object path keyed on a hash of the source.
+
+    The binary is always built on the local machine (it is compiled with
+    -march=native and never committed); hashing the source — rather than
+    comparing mtimes — guarantees a stale or foreign .so is never loaded.
+    """
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(
+        _REPO_ROOT, "native", f"libsearcharray_native-{digest}.so")
+
+
+def _build_so(so: str) -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
-        _SRC, "-o", _SO,
+        _SRC, "-o", so,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
@@ -43,15 +56,15 @@ def get_lib():
     with _lib_lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not os.path.exists(_SO) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-        ):
-            if not os.path.exists(_SRC) or not _build_so():
-                _lib_failed = True
-                return None
+        if not os.path.exists(_SRC):
+            _lib_failed = True
+            return None
+        so = _so_path()
+        if not os.path.exists(so) and not _build_so(so):
+            _lib_failed = True
+            return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
         except OSError:
             _lib_failed = True
             return None

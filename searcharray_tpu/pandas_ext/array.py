@@ -195,6 +195,9 @@ class SearchArray(ExtensionArray):
     """
 
     dtype = TermsDtype()
+    # pandas 3.x defines ExtensionArray._readonly; declare it ourselves so
+    # indexing works on pandas 2.x too (and so views propagate it reliably).
+    _readonly = False
 
     def __init__(self, postings, tokenizer=ws_tokenizer, avoid_copies=True):
         if not is_list_like(postings):
