@@ -22,6 +22,7 @@ from searcharray_tpu.ops.kernels import (
     blk_bits_for,
     bucket_of,
     compress_planes,
+    expand_bucket_of,
 )
 
 
@@ -40,7 +41,10 @@ class DeviceIndex:
         self.doc_freqs = built.doc_freqs  # host int64[V], precomputed
 
         max_len = int(built.postings.lengths.max()) if built.postings.num_terms else 0
-        self.max_bucket = bucket_of(max(1, max_len))
+        # tail padding covers the largest slice any kernel may take: the
+        # quarter-pow2 query buckets AND the coarse pow-4 expansion buckets
+        self.max_bucket = max(bucket_of(max(1, max_len)),
+                              expand_bucket_of(max(1, max_len)))
         max_doc_len = float(built.doc_lens.max()) if len(built.doc_lens) else 1
         self._max_doc_len = max_doc_len
         self.blk_bits = blk_bits_for(int(max_doc_len))
@@ -52,6 +56,13 @@ class DeviceIndex:
         self.pays = jnp.asarray(np.concatenate([pay, pad_p]))
         self.doc_lens = jnp.asarray(built.doc_lens, dtype=jnp.float32)
         self._block_word_max = self._per_term_block_max(built, 1024)
+        # LRU of dense u32[N << blk_bits] payload planes for hot terms
+        # (search/dense.py); device HBM, bounded by DENSE_CACHE_BYTES.
+        from collections import OrderedDict
+
+        self.dense_cache: "OrderedDict[int, object]" = OrderedDict()
+        # LRU of dense f32[N] term-frequency vectors (search/dense.term_tf)
+        self.tf_cache: "OrderedDict[int, object]" = OrderedDict()
 
     @staticmethod
     def _per_term_block_max(built: BuiltIndex, doc_block: int) -> np.ndarray:

@@ -40,6 +40,21 @@ def bucket_of(n: int) -> int:
     return p
 
 
+def expand_bucket_of(n: int) -> int:
+    """Coarse power-of-4 padding for dense-expansion slices (search/dense).
+
+    Expansion cost is one scatter (cheap even 4x padded), but every
+    distinct bucket is a fresh XLA compile — 30s+ on a tunneled TPU — so
+    long-tail serving must see only a handful of shapes per corpus.
+    DeviceIndex pads its planes to this bound so clamped dynamic slices
+    can never misalign.
+    """
+    b = 4096
+    while b < n:
+        b <<= 2
+    return b
+
+
 def compress_planes(words: np.ndarray, blk_bits: int):
     """uint64 posting words -> (hdr32 int32, pay32 uint32) planes.
 

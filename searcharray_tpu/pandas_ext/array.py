@@ -34,7 +34,12 @@ from searcharray_tpu.index.builder import (
 from searcharray_tpu.index.device import DeviceIndex
 from searcharray_tpu.index.vocab import TermMissingError
 from searcharray_tpu.ops import encoding as enc
-from searcharray_tpu.search import scoring, phrase as phrase_mod, spans as spans_mod
+from searcharray_tpu.search import (
+    batch as batch_mod,
+    phrase as phrase_mod,
+    scoring,
+    spans as spans_mod,
+)
 from searcharray_tpu.search.similarity import Similarity, default_bm25
 
 
@@ -655,11 +660,13 @@ class SearchArray(ExtensionArray):
                     top_k: Optional[int] = None):
         """Score a batch of queries (terms or phrases) with one host sync.
 
-        Dispatches every query's kernels asynchronously and materialises all
-        results at the end — the throughput path for serving.  Returns
-        float32[Q, len(self)], or with ``top_k`` set, ``(scores[Q, k],
-        indices[Q, k])`` — the k-selection runs on device so only 2*Q*k
-        values cross back to the host (the dense vectors never leave HBM).
+        Queries are grouped by structure (terms together; phrases by
+        length/plan/bucket) and each group runs as ONE jitted program —
+        vmap over per-query (offset, length, idf) rows against the shared
+        posting planes (search/batch.py).  Returns float32[Q, len(self)],
+        or with ``top_k`` set, ``(scores[Q, k], indices[Q, k])`` — the
+        k-selection is fused into the group programs and all groups'
+        results cross the tunnel as one packed array.
         """
         import jax
 
@@ -673,12 +680,37 @@ class SearchArray(ExtensionArray):
                 return dense
             idx = np.argsort(dense, axis=1)[:, ::-1][:, :top_k]
             return np.take_along_axis(dense, idx, axis=1), idx
+        full_view = not self.subset and len(self.rows) == self.corpus_size
+        if slop == 0:
+            kind, k1, b = fused
+            qtids = []
+            for q in queries:
+                q = self._check_token_arg(q)
+                toks = [q] if isinstance(q, str) else q
+                tids = []
+                for t in toks:
+                    try:
+                        tids.append(self.term_dict.get_term_id(t))
+                    except TermMissingError:
+                        tids.append(-1)
+                qtids.append(tids)
+            if top_k is not None and full_view:
+                k = min(top_k, len(self))
+                return batch_mod.score_batch_fused(
+                    self.dev, qtids, kind, k1, b, top_k=k)
+            dense = batch_mod.score_batch_fused(self.dev, qtids, kind, k1, b)
+            if not full_view:
+                dense = dense[:, self.rows]
+            if top_k is not None:
+                idx = np.argsort(dense, axis=1)[:, ::-1][:, :top_k]
+                return np.take_along_axis(dense, idx, axis=1), idx
+            return dense
+        # slop queries: pipelined per-query dispatches
         pending = [
             self._score_fused(self._check_token_arg(q), fused, slop,
                               None, None)
             for q in queries
         ]
-        full_view = not self.subset and len(self.rows) == self.corpus_size
         if top_k is not None and full_view:
             k = min(top_k, len(self))
             fn = _topk_jit(self.corpus_size, k)

@@ -1,0 +1,419 @@
+"""Batched multi-query scoring: one XLA program per query-shape group.
+
+The single-query path (`scoring.score_term_dense`, `phrase.
+phrase_freqs_dense`) costs one device dispatch per query; on a tunneled
+TPU every dispatch is ~1-9 ms of host enqueue and every host transfer a
+full ~30 ms round trip, so a 12-query batch was paying ~30 dispatches —
+two orders of magnitude above the compute cost (VERDICT round 1: the
+per-query HBM traffic justifies ~100 us).
+
+This module replaces the reference's one-query-at-a-time execution model
+(`/root/reference/searcharray/postings.py:652`, `utils/sort.py:9`) with a
+TPU-shaped serving path:
+
+* queries are grouped by *structure* — all single terms together, phrases
+  by (length, chain plan, same-term pattern, padded bucket) — so each
+  group is a rectangular [Qg, T] problem;
+* each group runs as ONE jitted program: posting slices and phrase chains
+  are ``vmap``-ed over per-query (offset, length, idf) rows, but the
+  dense per-doc reduction is NOT a vmapped scatter (XLA scatter-add is
+  ~10 ns/element on TPU).  Instead every query's sorted doc keys are
+  offset into a **flat query-major key space** (`q * Npad + doc`, with N
+  padded to the Pallas doc-block size so blocks never straddle queries)
+  and reduced by ONE `segment_sum_pallas` block-reduce per chain step —
+  the same kernel that makes the single-query path fast;
+* with ``top_k`` the k-selection happens inside the same program and all
+  groups' results are packed into a single int32 [Q, 2k] device array
+  (f32 score bits ‖ doc indices), so exactly ONE array crosses the tunnel
+  per batch.
+
+Group kernels are cached by structural key; query-count axes are padded to
+quarter-power-of-two sizes so compile variants stay bounded.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from searcharray_tpu.index.device import DeviceIndex
+from searcharray_tpu.ops import kernels as K
+from searcharray_tpu.ops.encoding import LSB_BITS
+from searcharray_tpu.search.phrase import _chain_planes, _merged_chain, _plan
+from searcharray_tpu.search.scoring import (
+    apply_similarity_device,
+    host_idf,
+)
+
+_group_cache: dict = {}
+
+_DOC_BLOCK = 1024  # segment_sum_pallas doc-block; Npad is a multiple of it
+
+# flat keys are int32; the Pallas pad sentinel is 2**30, so the flat key
+# space (Qchunk * Npad) must stay below 2**29 per program
+_MAX_FLAT = 1 << 29
+
+
+def _qpad(q: int) -> int:
+    """Pad a group's query count to bound compile variants.
+
+    Small groups stay tight (a singleton must not pay 8 queries' worth of
+    sort/segsum work); larger ones quantize to quarter-power-of-two."""
+    if q <= 2:
+        return q
+    if q <= 4:
+        return 4
+    if q <= 6:
+        return 6
+    return K.bucket_of(q)
+
+
+def _npad(num_docs: int) -> int:
+    return -(-max(1, num_docs) // _DOC_BLOCK) * _DOC_BLOCK
+
+
+def _use_pallas(words_per_query: int) -> bool:
+    """Pallas block-reduce only where it wins: the one-hot walk costs
+    O(doc_blocks * word_tiles); below ~32k words XLA's scatter-add is
+    cheaper (same policy as scoring._use_pallas)."""
+    import jax
+
+    from searcharray_tpu.search import scoring as S
+
+    if S.PALLAS_MODE == "never":
+        return False
+    if S.PALLAS_MODE == "always":
+        return True
+    return (jax.default_backend() == "tpu"
+            and words_per_query >= S._PALLAS_MIN_WORDS)
+
+
+def _bpd(dev: DeviceIndex) -> int:
+    """Max posting blocks per document."""
+    return -(-int(max(1.0, dev._max_doc_len)) // LSB_BITS)
+
+
+def _flat_segment_sum(keys, counts, Qg: int, Npad: int, wpb: int,
+                      use_pallas: bool):
+    """[Qg, M] sorted per-row (keys, counts) -> dense float32[Qg, Npad].
+
+    Rows are offset into the flat query-major key space; PAD keys clamp to
+    the row's last slot (their counts are zero by construction upstream).
+    """
+    import jax.numpy as jnp
+
+    M = keys.shape[1]
+    offs = (jnp.arange(Qg, dtype=jnp.int32) * jnp.int32(Npad))[:, None]
+    flat = (jnp.minimum(keys, jnp.int32(Npad - 1)) + offs).reshape(-1)
+    vals = counts.reshape(-1)
+    if use_pallas:
+        from searcharray_tpu.ops.pallas.score import segment_sum_pallas
+
+        dense = segment_sum_pallas(
+            flat, vals, num_docs=Qg * Npad, doc_block=_DOC_BLOCK,
+            max_words_per_block=min(M, wpb))
+    else:
+        dense = jnp.zeros(Qg * Npad, jnp.float32).at[flat].add(vals,
+                                                               mode="drop")
+    return dense.reshape(Qg, Npad)
+
+
+# ---------------------------------------------------------------------------
+# group kernels
+# ---------------------------------------------------------------------------
+def _term_group_fn(dev: DeviceIndex, Qp: int, bucket: int, wpb: int,
+                   kind: str, k1: float, b: float, top_k: Optional[int]):
+    import jax
+    import jax.numpy as jnp
+
+    use_pallas = _use_pallas(bucket)
+    key = ("bterm", dev.corpus_size, dev.blk_bits, Qp, bucket, wpb, kind,
+           k1, b, top_k, use_pallas)
+    fn = _group_cache.get(key)
+    if fn is not None:
+        return fn
+
+    N = dev.corpus_size
+    Npad = _npad(N)
+    blk_bits = dev.blk_bits
+
+    def slice_one(hdrs, pays, off, n):
+        h, p = K.take_term_planes(hdrs, pays, off, n, bucket=bucket,
+                                  blk_bits=blk_bits)
+        keys = (h >> jnp.int32(blk_bits)).astype(jnp.int32)
+        pops = jax.lax.population_count(p).astype(jnp.float32)
+        return keys, pops
+
+    def f(hdrs, pays, doc_lens, avgdl, offs, ns, idfs):
+        keys, pops = jax.vmap(slice_one, in_axes=(None, None, 0, 0))(
+            hdrs, pays, offs, ns)
+        tfs = _flat_segment_sum(keys, pops, Qp, Npad, wpb, use_pallas)[:, :N]
+        dense = apply_similarity_device(kind, tfs, doc_lens[None, :],
+                                        idfs[:, None], avgdl, k1, b)
+        if top_k is None:
+            return dense
+        return _pack_topk(dense, top_k)
+
+    fn = jax.jit(f)
+    _group_cache[key] = fn
+    return fn
+
+
+def _phrase_group_fn(dev: DeviceIndex, Qp: int, T: int, bucket: int,
+                     plan_key: tuple, pattern: tuple, kind: str,
+                     k1: float, b: float, top_k: Optional[int]):
+    import jax
+    import jax.numpy as jnp
+
+    use_pallas = _use_pallas(T * bucket)
+    key = ("bphrase", dev.corpus_size, dev.blk_bits, Qp, T, bucket, plan_key,
+           pattern, kind, k1, b, top_k, use_pallas)
+    fn = _group_cache.get(key)
+    if fn is not None:
+        return fn
+
+    N = dev.corpus_size
+    Npad = _npad(N)
+    blk_bits = dev.blk_bits
+    plan = [(d, list(idxs)) for d, idxs in plan_key]
+    bpd = _bpd(dev)
+    # words-per-doc-block bound per step: n_streams * blocks-per-doc + slack
+    step_streams: List[int] = []
+    for _, idxs in plan:
+        n_streams = len(idxs) if len(idxs) >= 3 else 2
+        step_streams += [n_streams] * (len(idxs) - 1)
+
+    def chains_one(hdrs, pays, offs, ns):
+        planes = [
+            K.take_term_planes(hdrs, pays, offs[i], ns[i], bucket=bucket,
+                               blk_bits=blk_bits)
+            for i in range(T)
+        ]
+        out = []
+        for direction, idxs in plan:
+            sub = [planes[i] for i in idxs]
+            stids = [pattern[i] for i in idxs]
+            if len(sub) >= 3:
+                out += _merged_chain(sub, stids, direction, 0, blk_bits,
+                                     None, pairs=True)
+            else:
+                out += _chain_planes(sub, stids, direction, 0, blk_bits,
+                                     pairs=True)
+        return out
+
+    def f(hdrs, pays, doc_lens, avgdl, offs, ns, idfs):
+        step_pairs = jax.vmap(chains_one, in_axes=(None, None, 0, 0))(
+            hdrs, pays, offs, ns)
+        freqs = None
+        for (keys, counts), n_streams in zip(step_pairs, step_streams):
+            wpb = _DOC_BLOCK * (n_streams * bpd + 2)
+            d = _flat_segment_sum(keys, counts, Qp, Npad, wpb, use_pallas)
+            freqs = d if freqs is None else jnp.minimum(freqs, d)
+        freqs = freqs[:, :N]
+        dense = apply_similarity_device(kind, freqs, doc_lens[None, :],
+                                        idfs[:, None], avgdl, k1, b)
+        if top_k is None:
+            return dense
+        return _pack_topk(dense, top_k)
+
+    fn = jax.jit(f)
+    _group_cache[key] = fn
+    return fn
+
+
+def _pack_topk(dense, k: int):
+    """[Qg, N] -> int32 [Qg, 2k]: f32 score bits ‖ int32 doc indices."""
+    import jax
+    import jax.numpy as jnp
+
+    scores, idx = jax.lax.top_k(dense, k)
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(scores, jnp.int32),
+         idx.astype(jnp.int32)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# batch driver
+# ---------------------------------------------------------------------------
+def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
+              kind: str):
+    """Split queries into structure groups.
+
+    Returns (groups, zero_rows): groups maps a structural key to a list of
+    (query_index, offs[T], ns[T], idf, tids); zero_rows are queries that
+    score all-zero (missing term / empty posting) host-side.
+
+    Routing: with the dense block layout available (search/dense.py) term
+    queries use cached tf vectors ("dterm") and exact phrases the
+    elementwise dense chain ("dphrase") — shapes independent of posting
+    sizes, so groups merge maximally.  Fallbacks ("term"/"phrase") keep
+    the bucketed sort-merge kernels.
+    """
+    from searcharray_tpu.search import dense
+
+    dense_ok = dense.dense_eligible(dev)
+    groups: dict = {}
+    zero_rows: List[int] = []
+    for qi, tids in enumerate(queries_tids):
+        if tids is None or len(tids) == 0 or any(t < 0 for t in tids):
+            zero_rows.append(qi)
+            continue
+        dfs = [int(dev.doc_freqs[t]) for t in tids]
+        idf = host_idf(kind, dfs, dev.corpus_size, dev.avg_doc_length)
+        spans = [dev.term_span(t) for t in tids]
+        lengths = [s[1] for s in spans]
+        if len(tids) == 1:
+            gkey = ("dterm",) if dense_ok else (
+                "term", K.bucket_of(max(1, lengths[0])))
+            row = (qi, np.asarray([spans[0][0]], np.int32),
+                   np.asarray([lengths[0]], np.int32), idf, tids)
+        else:
+            if min(lengths) == 0:
+                zero_rows.append(qi)
+                continue
+            split = int(np.argmin(lengths))
+            plan_key = tuple(
+                (d, tuple(idxs)) for d, idxs in _plan(len(tids), split))
+            pattern = tuple(tids.index(t) for t in tids)
+            if dense_ok:
+                gkey = ("dphrase", len(tids), plan_key, pattern)
+            else:
+                bucket = K.bucket_of(max(lengths))
+                gkey = ("phrase", len(tids), bucket, plan_key, pattern)
+            row = (qi, np.asarray([s[0] for s in spans], np.int32),
+                   np.asarray(lengths, np.int32), idf, tids)
+        groups.setdefault(gkey, []).append(row)
+    return groups, zero_rows
+
+
+def score_batch_fused(dev: DeviceIndex,
+                      queries_tids: Sequence[Optional[List[int]]],
+                      kind: str = "bm25", k1: float = 1.2, b: float = 0.75,
+                      top_k: Optional[int] = None):
+    """Score a batch of resolved term-id queries in one program per group.
+
+    ``queries_tids[i]`` is the list of term ids for query i (`-1` entries
+    mark vocabulary misses, making the whole query score zero — parity
+    with the single-query facade), or None for an unresolvable query.
+
+    Returns float32[Q, num_docs], or with ``top_k``:
+    (scores float32[Q, k], indices int64[Q, k]) — one host transfer total.
+    """
+    import jax.numpy as jnp
+
+    Q = len(queries_tids)
+    avgdl = np.float32(max(dev.avg_doc_length, 1e-38))
+    groups, zero_rows = _classify(dev, queries_tids, kind)
+    if dev.avg_doc_length == 0:
+        zero_rows = list(range(Q))
+        groups = {}
+
+    from searcharray_tpu.search import dense
+
+    Npad = _npad(dev.corpus_size)
+    NS = dense.plane_size(dev)
+    planes_cache: dict = {}  # per-batch dedupe of transient expansions
+
+    def _plane(tid):
+        arr = planes_cache.get(tid)
+        if arr is None:
+            arr = dense.expand_term(dev, tid)
+            planes_cache[tid] = arr
+        return arr
+
+    pending: List[Tuple[list, object]] = []  # (query indices, device out)
+    for gkey, rows in groups.items():
+        if gkey[0] == "dphrase":
+            # stacked planes are u32[Qp, T, NS]; cap at ~1 GB per program
+            max_chunk = max(1, (1 << 28) // (gkey[1] * max(1, NS)))
+        elif gkey[0] == "dterm":
+            # tf stack is f32[Qp, N]; same ~1 GB cap
+            max_chunk = max(1, (1 << 28) // max(1, dev.corpus_size))
+        else:
+            max_chunk = max(1, _MAX_FLAT // Npad)
+        for c0 in range(0, len(rows), max_chunk):
+            chunk = rows[c0: c0 + max_chunk]
+            Qg = len(chunk)
+            Qp = _qpad(Qg)
+            idfs = np.zeros(Qp, np.float32)
+            for r, (qi, o, n, idf, _tids) in enumerate(chunk):
+                idfs[r] = idf
+            if gkey[0] == "dterm":
+                import jax.numpy as jnp
+
+                tfs = [dense.term_tf(dev, row[4][0]) for row in chunk]
+                tfs += [tfs[0]] * (Qp - Qg)  # pad rows reuse row 0 (idf 0)
+                fn = dense.term_group_fn(dev, kind, k1, b, top_k)
+                out = fn(jnp.stack(tfs), dev.doc_lens, idfs, avgdl)
+            elif gkey[0] == "dphrase":
+                import jax.numpy as jnp
+
+                _, T, plan_key, pattern = gkey
+                flat = []
+                for row in chunk:
+                    flat += [_plane(t) for t in row[4]]
+                flat += flat[:T] * (Qp - Qg)
+                dstack = jnp.stack(flat).reshape(Qp, T, NS)
+                fn = dense.phrase_group_fn(dev, T, plan_key, pattern, kind,
+                                           k1, b, top_k)
+                out = fn(dstack, dev.doc_lens, idfs, avgdl)
+            elif gkey[0] == "term":
+                bucket = gkey[1]
+                offs = np.zeros(Qp, np.int32)
+                ns = np.zeros(Qp, np.int32)
+                for r, (qi, o, n, idf, _tids) in enumerate(chunk):
+                    offs[r], ns[r] = o[0], n[0]
+                wpb = _term_wpb(dev, chunk)
+                fn = _term_group_fn(dev, Qp, bucket, wpb, kind, k1, b, top_k)
+                out = fn(dev.hdrs, dev.pays, dev.doc_lens, avgdl,
+                         offs, ns, idfs)
+            else:
+                _, T, bucket, plan_key, pattern = gkey
+                offs = np.zeros((Qp, T), np.int32)
+                ns = np.zeros((Qp, T), np.int32)
+                for r, (qi, o, n, idf, _tids) in enumerate(chunk):
+                    offs[r], ns[r] = o, n
+                fn = _phrase_group_fn(dev, Qp, T, bucket, plan_key, pattern,
+                                      kind, k1, b, top_k)
+                out = fn(dev.hdrs, dev.pays, dev.doc_lens, avgdl, offs, ns,
+                         idfs)
+            pending.append(([qi for qi, *_ in chunk], out[:Qg]))
+
+    if top_k is not None:
+        k = top_k
+        scores = np.zeros((Q, k), np.float32)
+        idx = np.tile(np.arange(k, dtype=np.int64), (Q, 1))
+        if pending:
+            packed_dev = (pending[0][1] if len(pending) == 1 else
+                          jnp.concatenate([out for _, out in pending]))
+            packed = np.asarray(packed_dev)  # the ONE host transfer
+            row = 0
+            for qis, out in pending:
+                for qi in qis:
+                    scores[qi] = packed[row, :k].copy().view(np.float32)
+                    idx[qi] = packed[row, k:]
+                    row += 1
+        return scores, idx
+
+    dense = np.zeros((Q, dev.corpus_size), np.float32)
+    if pending:
+        stacked_dev = (pending[0][1] if len(pending) == 1 else
+                       jnp.concatenate([out for _, out in pending]))
+        stacked = np.asarray(stacked_dev)
+        row = 0
+        for qis, out in pending:
+            for qi in qis:
+                dense[qi] = stacked[row]
+                row += 1
+    return dense
+
+
+def _term_wpb(dev: DeviceIndex, chunk) -> int:
+    """Tile bound for a term group: max words any 1024-doc block holds for
+    any term in the chunk (tight per-term table, quantized to a tile)."""
+    from searcharray_tpu.ops.pallas.score import WORD_TILE
+
+    best = 1
+    for _qi, _o, _n, _idf, tids in chunk:
+        best = max(best, int(dev._block_word_max[tids[0]]))
+    return -(-best // WORD_TILE) * WORD_TILE

@@ -76,12 +76,15 @@ def _shift_next(arr, fill):
     return jnp.concatenate([arr[1:], jnp.full((1,), fill, arr.dtype)])
 
 
-def _same_term_step(h, p, cont_side, num_docs, blk_bits, need_cont=True):
+def _same_term_step(h, p, cont_side, num_docs, blk_bits, need_cont=True,
+                    pairs=False):
     """Closed-form bigram step when lhs and rhs are the identical array.
 
     No alignment needed: within-word runs use the same-term correction,
     cross-block adjacency is simply the neighbouring element (headers are
-    unique and sorted)."""
+    unique and sorted).  With ``pairs`` the per-word (sorted doc key,
+    count) stream is returned instead of the dense vector (for batched
+    flat segment-sums, search/batch.py)."""
     import jax.numpy as jnp
 
     st_counts, st_overlap = _same_term_counts(p)
@@ -106,7 +109,11 @@ def _same_term_step(h, p, cont_side, num_docs, blk_bits, need_cont=True):
     valid = h != PAD_HDR32
     counts = jnp.where(valid, counts, 0.0)
     keys = (h >> jnp.int32(blk_bits)).astype(jnp.int32)
-    dense = jnp.zeros(num_docs, jnp.float32).at[keys].add(counts, mode="drop")
+    if pairs:
+        dense = (keys, counts)
+    else:
+        dense = jnp.zeros(num_docs, jnp.float32).at[keys].add(counts,
+                                                              mode="drop")
     if not need_cont:
         return dense, None
     cont_p = jnp.where(valid, cont_bits | adj_bit, jnp.uint32(0))
@@ -114,9 +121,10 @@ def _same_term_step(h, p, cont_side, num_docs, blk_bits, need_cont=True):
 
 
 def _merge_step(lh, lp, rh, rp, cont_side, num_docs, blk_bits,
-                need_cont=True, segsum_wpb=None):
+                need_cont=True, segsum_wpb=None, pairs=False):
     """Sort-merge bigram step; continuation shaped like the `base` side
-    (rhs for L2R, lhs for R2L).
+    (rhs for L2R, lhs for R2L).  With ``pairs`` the (sorted doc key,
+    count) stream is returned instead of the dense vector.
 
     Tag order puts *base* (tag 0) before *other* (tag 1) at equal headers,
     so for each base element the same-header partner is at lookahead 1 and
@@ -190,7 +198,9 @@ def _merge_step(lh, lp, rh, rp, cont_side, num_docs, blk_bits,
     counts = jnp.where(real, jax_popcount(overlap).astype(jnp.float32)
                        + adj.astype(jnp.float32), 0.0)
     keys = (sh >> jnp.int32(blk_bits)).astype(jnp.int32)
-    if segsum_wpb is not None:
+    if pairs:
+        dense = (keys, counts)
+    elif segsum_wpb is not None:
         # Pallas block-reduce segment sum (keys are sorted): ~10x cheaper
         # than XLA scatter-add on TPU for stopword-sized steps.
         from searcharray_tpu.ops.pallas.score import segment_sum_pallas
@@ -396,12 +406,19 @@ COMPOSITE_MODE = "auto"
 #     per-step compaction scatters, no per-step sorts.
 # Counts still need a per-step dense per-doc sum (Pallas segment-sum).
 # ---------------------------------------------------------------------------
-def _merged_chain(planes, tids, direction, num_docs, blk_bits, segsum_wpb):
+def _merged_chain(planes, tids, direction, num_docs, blk_bits, segsum_wpb,
+                  pairs=False):
     import jax
     import jax.numpy as jnp
 
     T = len(planes)
     M = sum(p[0].shape[0] for p in planes)
+    if segsum_wpb is not None:
+        # segsum_wpb is the 2-stream (pairwise) bound 1024*(2*bpd+2); the
+        # merged stream interleaves T per-term streams, so a 1024-doc block
+        # can hold up to T*bpd words per doc — scale the tile bound or the
+        # kernel would silently drop overflow words.
+        segsum_wpb += (segsum_wpb - 2048) * (T - 2) // 2
     if direction == "l2r":
         order = list(range(T))
     else:
@@ -487,7 +504,9 @@ def _merged_chain(planes, tids, direction, num_docs, blk_bits, segsum_wpb):
             adj_bit = jnp.where(adj, top, jnp.uint32(0))
 
         counts = jnp.where(real, counts_w + adj.astype(jnp.float32), 0.0)
-        if segsum_wpb is not None:
+        if pairs:
+            dense = (doc_keys, counts)
+        elif segsum_wpb is not None:
             from searcharray_tpu.ops.pallas.score import segment_sum_pallas
 
             dense = segment_sum_pallas(doc_keys, counts, num_docs=num_docs,
@@ -512,8 +531,11 @@ def _plan(n: int, split: int):
 
 
 def _chain_planes(planes, tids, direction, num_docs, blk_bits,
-                  segsum_wpb=None):
-    """In-trace bigram chain over already-sliced planes."""
+                  segsum_wpb=None, pairs=False):
+    """In-trace bigram chain over already-sliced planes.
+
+    With ``pairs`` each step yields (sorted doc keys, counts) instead of a
+    dense vector (batched flat segment-sums, search/batch.py)."""
     denses = []
     carry = None
     if direction == "l2r":
@@ -521,24 +543,26 @@ def _chain_planes(planes, tids, direction, num_docs, blk_bits,
             last = i == len(planes) - 1
             if carry is None and tids[i] == tids[i - 1]:
                 dense, carry = _same_term_step(*planes[i], "rhs", num_docs,
-                                               blk_bits, need_cont=not last)
+                                               blk_bits, need_cont=not last,
+                                               pairs=pairs)
             else:
                 lhs = planes[i - 1] if carry is None else carry
                 dense, carry = _merge_step(*lhs, *planes[i], "rhs", num_docs,
                                            blk_bits, need_cont=not last,
-                                           segsum_wpb=segsum_wpb)
+                                           segsum_wpb=segsum_wpb, pairs=pairs)
             denses.append(dense)
     else:
         for i in range(len(planes) - 2, -1, -1):
             last = i == 0
             if carry is None and tids[i] == tids[i + 1]:
                 dense, carry = _same_term_step(*planes[i], "lhs", num_docs,
-                                               blk_bits, need_cont=not last)
+                                               blk_bits, need_cont=not last,
+                                               pairs=pairs)
             else:
                 rhs = planes[i + 1] if carry is None else carry
                 dense, carry = _merge_step(*planes[i], *rhs, "lhs", num_docs,
                                            blk_bits, need_cont=not last,
-                                           segsum_wpb=segsum_wpb)
+                                           segsum_wpb=segsum_wpb, pairs=pairs)
             denses.append(dense)
     return denses
 
@@ -614,6 +638,15 @@ def phrase_freqs_dense(index: DeviceIndex, term_ids: List[int],
     tids_key = tuple(term_ids.index(t) for t in term_ids)
     split = int(np.argmin(lengths))
     avgdl = np.float32(max(index.avg_doc_length, 1e-38))
+
+    if not windowed:
+        # dense block-layout chain (search/dense.py): elementwise, no sorts
+        from searcharray_tpu.search import dense as dense_mod
+
+        if dense_mod.dense_eligible(index):
+            return dense_mod.score_phrase_dense(
+                index, term_ids, _plan(len(term_ids), split), tids_key,
+                kind, k1, b, idf)
 
     use_composite = COMPOSITE_MODE == "always" or (
         COMPOSITE_MODE == "auto" and _backend() == "tpu"

@@ -1,0 +1,131 @@
+"""Batched (grouped one-program) scoring parity vs the single-query path."""
+import numpy as np
+import pytest
+
+from searcharray_tpu import SearchArray
+from searcharray_tpu.search import dense as dense_mod
+from searcharray_tpu.search.similarity import (
+    bm25_legacy_similarity,
+    classic_similarity,
+    default_bm25,
+)
+
+
+@pytest.fixture(params=["dense", "sparse"], autouse=True)
+def engine(request, monkeypatch):
+    """Run every batch test against both the dense block-layout engine and
+    the bucketed sort-merge fallback (forced by zeroing the plane limit)."""
+    if request.param == "sparse":
+        monkeypatch.setattr(dense_mod, "DENSE_TERM_BYTES_LIMIT", 0)
+    return request.param
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rng = np.random.default_rng(11)
+    vocab = ["the", "of", "what", "is", "star", "trek", "cat"] + [
+        f"w{i}" for i in range(400)
+    ]
+    probs = 1.0 / np.arange(1, len(vocab) + 1)
+    probs /= probs.sum()
+    corpus = [
+        " ".join(rng.choice(vocab, size=rng.integers(4, 60), p=probs))
+        for _ in range(800)
+    ]
+    corpus.append("the the the of of")  # same-term phrase material
+    corpus.append("")
+    return SearchArray.index(corpus)
+
+
+MIXED = [
+    "the",                       # frequent term
+    "w399",                      # rare term
+    "nosuchterm",                # vocab miss -> zeros
+    ["what", "is"],              # frequent bigram
+    ["star", "trek"],            # rare bigram
+    ["the", "of"],               # stopword bigram
+    ["what", "is", "the"],       # trigram (merged chain)
+    ["the", "the"],              # same-term bigram
+    ["what", "is", "the", "of"],  # 4-gram
+    ["the", "nosuchterm"],       # phrase w/ missing term -> zeros
+    ["w399"],                    # 1-element list (normalises to term)
+]
+
+
+def test_batch_dense_matches_sequential(docs):
+    batched = docs.score_batch(MIXED)
+    assert batched.shape == (len(MIXED), len(docs))
+    for i, q in enumerate(MIXED):
+        single = docs.score(q)
+        np.testing.assert_allclose(batched[i], single, rtol=1e-6, atol=1e-6,
+                                   err_msg=str(q))
+
+
+def test_batch_topk_matches_dense(docs):
+    k = 7
+    scores, idx = docs.score_batch(MIXED, top_k=k)
+    assert scores.shape == (len(MIXED), k)
+    assert idx.shape == (len(MIXED), k)
+    dense = docs.score_batch(MIXED)
+    for i, q in enumerate(MIXED):
+        np.testing.assert_allclose(
+            scores[i], np.sort(dense[i])[::-1][:k], rtol=1e-6, atol=1e-6,
+            err_msg=str(q))
+        np.testing.assert_allclose(dense[i][idx[i]], scores[i], rtol=1e-6,
+                                   atol=1e-6, err_msg=str(q))
+
+
+@pytest.mark.parametrize("sim", [bm25_legacy_similarity(),
+                                 classic_similarity()],
+                         ids=["legacy", "classic"])
+def test_batch_other_similarities(docs, sim):
+    queries = ["the", ["what", "is"], ["star", "trek"]]
+    batched = docs.score_batch(queries, similarity=sim)
+    for i, q in enumerate(queries):
+        np.testing.assert_allclose(batched[i], docs.score(q, similarity=sim),
+                                   rtol=1e-6, atol=1e-6, err_msg=str(q))
+
+
+def test_batch_subset_view(docs):
+    sub = docs[1::3]
+    queries = ["the", ["what", "is"], "nosuchterm"]
+    batched = sub.score_batch(queries)
+    assert batched.shape == (len(queries), len(sub))
+    for i, q in enumerate(queries):
+        np.testing.assert_allclose(batched[i], sub.score(q), rtol=1e-6,
+                                   atol=1e-6, err_msg=str(q))
+    # top_k on a subset ranks within the subset
+    scores, idx = sub.score_batch(queries, top_k=5)
+    dense = np.stack([sub.score(q) for q in queries])
+    for i in range(len(queries)):
+        np.testing.assert_allclose(scores[i], np.sort(dense[i])[::-1][:5],
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_batch_slop_falls_back(docs):
+    queries = [["what", "is"], ["star", "trek"]]
+    batched = docs.score_batch(queries, slop=1)
+    for i, q in enumerate(queries):
+        np.testing.assert_allclose(batched[i], docs.score(q, slop=1),
+                                   rtol=1e-6, atol=1e-6, err_msg=str(q))
+
+
+def test_batch_empty_and_missing_rows(docs):
+    scores, idx = docs.score_batch(["nosuchterm", ["the", "nosuchterm"]],
+                                   top_k=4)
+    assert np.all(scores == 0.0)
+    np.testing.assert_array_equal(idx, np.tile(np.arange(4), (2, 1)))
+
+
+def test_dense_engine_matches_sparse_engine(docs, engine, monkeypatch):
+    """The dense block-layout chain and the sort-merge chain must agree
+    bit-for-bit on phrase scores (same float32 op order in similarity)."""
+    if engine == "sparse":
+        pytest.skip("comparison runs once, from the dense side")
+    queries = MIXED
+    dense_scores = docs.score_batch(queries)
+    with monkeypatch.context() as m:
+        m.setattr(dense_mod, "DENSE_TERM_BYTES_LIMIT", 0)
+        sparse_scores = docs.score_batch(queries)
+    np.testing.assert_allclose(dense_scores, sparse_scores, rtol=1e-6,
+                               atol=1e-6)
