@@ -694,13 +694,23 @@ class SearchArray(ExtensionArray):
                     except TermMissingError:
                         tids.append(-1)
                 qtids.append(tids)
-            if top_k is not None and full_view:
-                k = min(top_k, len(self))
+            if full_view:
+                if top_k is not None:
+                    k = min(top_k, len(self))
+                    return batch_mod.score_batch_fused(
+                        self.dev, qtids, kind, k1, b, top_k=k)
+                return batch_mod.score_batch_fused(self.dev, qtids, kind,
+                                                   k1, b)
+            from searcharray_tpu.search import dense as dense_mod
+
+            if dense_mod.dense_eligible(self.dev):
+                # candidate-pruned path: compute only the view's rows
+                k = min(top_k, len(self)) if top_k is not None else None
                 return batch_mod.score_batch_fused(
-                    self.dev, qtids, kind, k1, b, top_k=k)
+                    self.dev, qtids, kind, k1, b, top_k=k,
+                    rows=np.asarray(self.rows, dtype=np.int64))
             dense = batch_mod.score_batch_fused(self.dev, qtids, kind, k1, b)
-            if not full_view:
-                dense = dense[:, self.rows]
+            dense = dense[:, self.rows]
             if top_k is not None:
                 idx = np.argsort(dense, axis=1)[:, ::-1][:, :top_k]
                 return np.take_along_axis(dense, idx, axis=1), idx
@@ -734,6 +744,59 @@ class SearchArray(ExtensionArray):
             idx = np.argsort(out, axis=1)[:, ::-1][:, :top_k]
             return np.take_along_axis(out, idx, axis=1), idx
         return out
+
+    def score_batch_device(self, queries: List[Union[str, List[str]]],
+                           similarity: Similarity = default_bm25,
+                           slop: int = 0):
+        """Like :meth:`score_batch` but returns the f32[Q, len(self)]
+        scores as a DEVICE array — no host transfer.  Callers composing
+        further (edismax) pay one tunnel round trip for the whole query
+        instead of one per phase.  Requires a fused builtin similarity.
+        """
+        import jax.numpy as jnp
+
+        fused = getattr(similarity, "_fused", None)
+        if fused is None:
+            # custom similarity: honour the reference protocol per query,
+            # then stage the stack on device for composition
+            return jnp.asarray(np.stack(
+                [self.score(q, similarity=similarity, slop=slop)
+                 for q in queries]))
+        kind, k1, b = fused
+        if slop != 0:
+            pending = [
+                self._score_fused(self._check_token_arg(q), fused, slop,
+                                  None, None)
+                for q in queries
+            ]
+            out = jnp.stack([jnp.asarray(p) for p in pending])
+            if not self.subset and len(self.rows) == self.corpus_size:
+                return out
+            return out[:, self.rows]
+        qtids = []
+        for q in queries:
+            q = self._check_token_arg(q)
+            toks = [q] if isinstance(q, str) else q
+            tids = []
+            for t in toks:
+                try:
+                    tids.append(self.term_dict.get_term_id(t))
+                except TermMissingError:
+                    tids.append(-1)
+            qtids.append(tids)
+        full_view = not self.subset and len(self.rows) == self.corpus_size
+        if full_view:
+            return batch_mod.score_batch_fused(self.dev, qtids, kind, k1, b,
+                                               as_device=True)
+        from searcharray_tpu.search import dense as dense_mod
+
+        if dense_mod.dense_eligible(self.dev):
+            return batch_mod.score_batch_fused(
+                self.dev, qtids, kind, k1, b, as_device=True,
+                rows=np.asarray(self.rows, dtype=np.int64))
+        out = batch_mod.score_batch_fused(self.dev, qtids, kind, k1, b,
+                                          as_device=True)
+        return out[:, self.rows]
 
     def topk(self, token: Union[str, List[str]], k: int = 10,
              similarity: Similarity = default_bm25, slop: int = 0):

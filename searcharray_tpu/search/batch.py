@@ -289,14 +289,24 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
 def score_batch_fused(dev: DeviceIndex,
                       queries_tids: Sequence[Optional[List[int]]],
                       kind: str = "bm25", k1: float = 1.2, b: float = 0.75,
-                      top_k: Optional[int] = None):
+                      top_k: Optional[int] = None,
+                      rows: Optional[np.ndarray] = None,
+                      as_device: bool = False):
     """Score a batch of resolved term-id queries in one program per group.
 
     ``queries_tids[i]`` is the list of term ids for query i (`-1` entries
     mark vocabulary misses, making the whole query score zero — parity
     with the single-query facade), or None for an unresolvable query.
 
-    Returns float32[Q, num_docs], or with ``top_k``:
+    With ``rows`` (a candidate doc-id subset), the dense engine gathers
+    planes/tf at those rows so compute is proportional to the subset
+    (the candidate-pruned phrase phase); scores come back over rows.
+
+    With ``as_device`` (exclusive with ``top_k``) the [Q, n_out] result
+    stays a device array — for callers composing further on device
+    (edismax) without paying a tunnel round trip per batch.
+
+    Returns float32[Q, num_docs] (or [Q, len(rows)]), or with ``top_k``:
     (scores float32[Q, k], indices int64[Q, k]) — one host transfer total.
     """
     import jax.numpy as jnp
@@ -307,6 +317,16 @@ def score_batch_fused(dev: DeviceIndex,
     if dev.avg_doc_length == 0:
         zero_rows = list(range(Q))
         groups = {}
+
+    n_out = dev.corpus_size if rows is None else len(rows)
+    rows_dev = None
+    if rows is not None:
+        if any(g[0] in ("term", "phrase") for g in groups):
+            raise ValueError("subset scoring requires the dense engine")
+        Cp = K.bucket_of(max(1, len(rows)))
+        rows_p = np.zeros(Cp, np.int32)
+        rows_p[: len(rows)] = rows
+        rows_dev = jnp.asarray(rows_p)
 
     from searcharray_tpu.search import dense
 
@@ -322,7 +342,7 @@ def score_batch_fused(dev: DeviceIndex,
         return arr
 
     pending: List[Tuple[list, object]] = []  # (query indices, device out)
-    for gkey, rows in groups.items():
+    for gkey, grows in groups.items():
         if gkey[0] == "dphrase":
             # stacked planes are u32[Qp, T, NS]; cap at ~1 GB per program
             max_chunk = max(1, (1 << 28) // (gkey[1] * max(1, NS)))
@@ -331,8 +351,8 @@ def score_batch_fused(dev: DeviceIndex,
             max_chunk = max(1, (1 << 28) // max(1, dev.corpus_size))
         else:
             max_chunk = max(1, _MAX_FLAT // Npad)
-        for c0 in range(0, len(rows), max_chunk):
-            chunk = rows[c0: c0 + max_chunk]
+        for c0 in range(0, len(grows), max_chunk):
+            chunk = grows[c0: c0 + max_chunk]
             Qg = len(chunk)
             Qp = _qpad(Qg)
             idfs = np.zeros(Qp, np.float32)
@@ -343,8 +363,15 @@ def score_batch_fused(dev: DeviceIndex,
 
                 tfs = [dense.term_tf(dev, row[4][0]) for row in chunk]
                 tfs += [tfs[0]] * (Qp - Qg)  # pad rows reuse row 0 (idf 0)
-                fn = dense.term_group_fn(dev, kind, k1, b, top_k)
-                out = fn(jnp.stack(tfs), dev.doc_lens, idfs, avgdl)
+                if rows_dev is None:
+                    fn = dense.term_group_fn(dev, kind, k1, b, top_k)
+                    out = fn(jnp.stack(tfs), dev.doc_lens, idfs, avgdl)
+                else:
+                    # subset path returns dense over rows; top-k (if any)
+                    # is applied host-side after unpadding the columns
+                    fn = dense.term_group_subset_fn(dev, kind, k1, b, None)
+                    out = fn(jnp.stack(tfs), rows_dev, dev.doc_lens, idfs,
+                             avgdl)
             elif gkey[0] == "dphrase":
                 import jax.numpy as jnp
 
@@ -354,9 +381,14 @@ def score_batch_fused(dev: DeviceIndex,
                     flat += [_plane(t) for t in row[4]]
                 flat += flat[:T] * (Qp - Qg)
                 dstack = jnp.stack(flat).reshape(Qp, T, NS)
-                fn = dense.phrase_group_fn(dev, T, plan_key, pattern, kind,
-                                           k1, b, top_k)
-                out = fn(dstack, dev.doc_lens, idfs, avgdl)
+                if rows_dev is None:
+                    fn = dense.phrase_group_fn(dev, T, plan_key, pattern,
+                                               kind, k1, b, top_k)
+                    out = fn(dstack, dev.doc_lens, idfs, avgdl)
+                else:
+                    fn = dense.phrase_group_subset_fn(
+                        dev, T, plan_key, pattern, kind, k1, b, None)
+                    out = fn(dstack, rows_dev, dev.doc_lens, idfs, avgdl)
             elif gkey[0] == "term":
                 bucket = gkey[1]
                 offs = np.zeros(Qp, np.int32)
@@ -377,9 +409,22 @@ def score_batch_fused(dev: DeviceIndex,
                                       kind, k1, b, top_k)
                 out = fn(dev.hdrs, dev.pays, dev.doc_lens, avgdl, offs, ns,
                          idfs)
-            pending.append(([qi for qi, *_ in chunk], out[:Qg]))
+            pending.append(([qi for qi, *_ in chunk],
+                            out[:Qg, :n_out] if rows is not None
+                            else out[:Qg]))
 
-    if top_k is not None:
+    if as_device:
+        assert top_k is None, "as_device and top_k are exclusive"
+        out = jnp.zeros((Q, n_out), jnp.float32)
+        if pending:
+            stacked = (pending[0][1] if len(pending) == 1 else
+                       jnp.concatenate([o for _, o in pending]))
+            qidx = np.asarray([qi for qis, _ in pending for qi in qis],
+                              dtype=np.int32)
+            out = out.at[jnp.asarray(qidx)].set(stacked)
+        return out
+
+    if top_k is not None and rows is None:
         k = top_k
         scores = np.zeros((Q, k), np.float32)
         idx = np.tile(np.arange(k, dtype=np.int64), (Q, 1))
@@ -395,7 +440,7 @@ def score_batch_fused(dev: DeviceIndex,
                     row += 1
         return scores, idx
 
-    dense = np.zeros((Q, dev.corpus_size), np.float32)
+    dense = np.zeros((Q, n_out), np.float32)
     if pending:
         stacked_dev = (pending[0][1] if len(pending) == 1 else
                        jnp.concatenate([out for _, out in pending]))
@@ -405,6 +450,9 @@ def score_batch_fused(dev: DeviceIndex,
             for qi in qis:
                 dense[qi] = stacked[row]
                 row += 1
+    if top_k is not None:
+        idx = np.argsort(dense, axis=1)[:, ::-1][:, :top_k]
+        return np.take_along_axis(dense, idx, axis=1), idx
     return dense
 
 

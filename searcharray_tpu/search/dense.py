@@ -312,6 +312,80 @@ def term_tf(dev: DeviceIndex, term_id: int):
     return arr
 
 
+def phrase_group_subset_fn(dev: DeviceIndex, T: int, plan_key: tuple,
+                           pattern: tuple, kind: str, k1: float, b: float,
+                           top_k: Optional[int]):
+    """jit: (dstack u32[Qg, T, NS], rows int32[Cp], doc_lens_sub f32[Cp],
+    idfs[Qg], avgdl) -> scores over the candidate rows only.
+
+    The candidate-pruned phrase phase (reference intent at
+    `/root/reference/searcharray/solr.py:328-338`): planes are gathered at
+    the candidate docs' slot ranges, so chain cost is proportional to the
+    number of matching rows, not the corpus."""
+    import jax
+
+    key = ("dphrase_sub", dev.corpus_size, dev.blk_bits, T, plan_key,
+           pattern, kind, k1, b, top_k)
+    fn = _jit_cache.get(key)
+    if fn is not None:
+        return fn
+
+    from searcharray_tpu.search.scoring import apply_similarity_device
+
+    S = plane_slots(dev)
+    plan = [(d, list(idxs)) for d, idxs in plan_key]
+
+    def f(dstack, rows, doc_lens, idfs, avgdl):
+        import jax.numpy as jnp
+
+        Cp = rows.shape[0]
+        doc_lens_sub = jnp.take(doc_lens, rows, axis=-1)
+        flat_idx = (rows[:, None] * jnp.int32(S)
+                    + jnp.arange(S, dtype=jnp.int32)[None, :]).reshape(-1)
+        planes = [jnp.take(dstack[:, i], flat_idx, axis=-1)
+                  for i in range(T)]  # [Qg, Cp*S] each
+        freqs = phrase_counts_dense_planes(planes, list(pattern), plan,
+                                           Cp, S)
+        out = apply_similarity_device(kind, freqs, doc_lens_sub[None, :],
+                                      idfs[:, None], avgdl, k1, b)
+        if top_k is None:
+            return out
+        return pack_topk(out, top_k)
+
+    fn = jax.jit(f)
+    _jit_cache[key] = fn
+    return fn
+
+
+def term_group_subset_fn(dev: DeviceIndex, kind: str, k1: float, b: float,
+                         top_k: Optional[int]):
+    """jit: (tfstack f32[Qg, N], rows int32[Cp], doc_lens_sub, idfs) ->
+    scores over candidate rows (gather + similarity)."""
+    import jax
+
+    key = ("dterm_sub", dev.corpus_size, kind, k1, b, top_k)
+    fn = _jit_cache.get(key)
+    if fn is not None:
+        return fn
+
+    from searcharray_tpu.search.scoring import apply_similarity_device
+
+    def f(tfstack, rows, doc_lens, idfs, avgdl):
+        import jax.numpy as jnp
+
+        sub = jnp.take(tfstack, rows, axis=-1)
+        doc_lens_sub = jnp.take(doc_lens, rows, axis=-1)
+        out = apply_similarity_device(kind, sub, doc_lens_sub[None, :],
+                                      idfs[:, None], avgdl, k1, b)
+        if top_k is None:
+            return out
+        return pack_topk(out, top_k)
+
+    fn = jax.jit(f)
+    _jit_cache[key] = fn
+    return fn
+
+
 def term_group_fn(dev: DeviceIndex, kind: str, k1: float, b: float,
                   top_k: Optional[int]):
     """jit: (tfstack f32[Qg, N], doc_lens, idfs[Qg]) -> scores.

@@ -9,7 +9,7 @@ query.  Scores are composed from dense per-field vectors produced on device.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Tuple, Union, cast
+from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 import pandas as pd
@@ -106,69 +106,83 @@ def _boost_exp(boost) -> str:
 
 def _edismax_term_centric(frame, query_fields, num_search_terms, search_terms,
                           mm, tie, similarity) -> Tuple[np.ndarray, str]:
-    explain = []
-    term_scores = []
-    for term_posn in range(num_search_terms):
-        max_scores = np.zeros(len(frame))
-        sum_scores = np.zeros(len(frame))
-        term_explain = []
-        for field, boost in query_fields.items():
-            term = search_terms[field][term_posn]
-            post_arr = get_field(frame, field)
-            fscore = post_arr.score(term, similarity=similarity[field]) * _boost_val(boost)
-            term_explain.append(f"{field}:{term}^{_boost_exp(boost)}")
-            sum_scores += fscore
-            max_scores = np.maximum(max_scores, fscore)
-        term_scores.append(max_scores + (sum_scores - max_scores) * tie)
-        explain.append("(" + " | ".join(term_explain) + ")")
+    """Device-side term-centric composition: one batched program per field
+    scores all query terms at once (search/batch.py), then dismax/tie/mm
+    compose as elementwise device ops — no host transfer here at all."""
+    import jax.numpy as jnp
+
+    stacks, boosts = [], []
+    for field, boost in query_fields.items():
+        arr = get_field(frame, field)
+        stacks.append(arr.score_batch_device(search_terms[field],
+                                             similarity=similarity[field]))
+        boosts.append(_boost_val(boost))
+    fs = jnp.stack(stacks) * jnp.asarray(boosts, jnp.float32)[:, None, None]
+    mx = fs.max(axis=0)
+    sm = fs.sum(axis=0)
+    term_scores = mx + (sm - mx) * np.float32(tie)  # [T, N]
 
     min_should_match = parse_min_should_match(num_search_terms, spec=mm)
-    qf_scores = np.asarray(term_scores)
-    matches_gt_mm = np.sum(qf_scores > 0, axis=0) >= min_should_match
-    qf_scores = np.sum(term_scores, axis=0)
-    qf_scores[~matches_gt_mm] = 0
+    matches_gt_mm = (term_scores > 0).sum(axis=0) >= min_should_match
+    qf_scores = jnp.where(matches_gt_mm, term_scores.sum(axis=0),
+                          np.float32(0.0))
+
+    explain = []
+    for term_posn in range(num_search_terms):
+        term_explain = [
+            f"{field}:{search_terms[field][term_posn]}^{_boost_exp(boost)}"
+            for field, boost in query_fields.items()
+        ]
+        explain.append("(" + " | ".join(term_explain) + ")")
     return qf_scores, "(" + " ".join(explain) + f")~{min_should_match}"
 
 
 def _edismax_field_centric(frame, query_fields, num_search_terms, search_terms,
                            mm, tie, similarity) -> Tuple[np.ndarray, str]:
+    """Device-side field-centric composition (see _edismax_term_centric)."""
+    import jax.numpy as jnp
+
     field_scores = []
     explain = []
     for field, boost in query_fields.items():
         post_arr = get_field(frame, field)
-        term_scores = np.array(
-            [post_arr.score(term, similarity=similarity[field])
-             for term in search_terms[field]]
-        )
+        term_scores = post_arr.score_batch_device(
+            search_terms[field], similarity=similarity[field])
         min_should_match = parse_min_should_match(len(search_terms[field]), spec=mm)
         exp = " ".join([f"{field}:{term}" for term in search_terms[field]])
         exp = "(" + exp + f")~{min(min_should_match, len(search_terms[field]))}"
         exp = "(" + exp + f")^{_boost_exp(boost)}"
         matches_gt_mm = (
-            np.sum(term_scores > 0, axis=0)
+            (term_scores > 0).sum(axis=0)
             >= min(min_should_match, len(search_terms[field]))
         )
-        summed = np.sum(term_scores, axis=0)
-        summed[~matches_gt_mm] = 0
-        field_scores.append(summed * _boost_val(boost))
+        summed = jnp.where(matches_gt_mm, term_scores.sum(axis=0),
+                           np.float32(0.0))
+        field_scores.append(summed * np.float32(_boost_val(boost)))
         explain.append(exp)
-    qf_scores = np.asarray(field_scores)
-    summed_scores = np.sum(qf_scores, axis=0)
-    qf_scores = np.max(qf_scores, axis=0)
-    qf_scores = qf_scores + (summed_scores - qf_scores) * tie
+    stack = jnp.stack(field_scores)
+    summed_scores = stack.sum(axis=0)
+    mx = stack.max(axis=0)
+    qf_scores = mx + (summed_scores - mx) * np.float32(tie)
     return qf_scores, " | ".join(explain)
 
 
-def _ngram_phase(searchable, search_terms, fields, similarity, ngram: int,
-                 slop: int = 0) -> Tuple[Union[np.ndarray, List], str]:
+def _ngram_phase(frame, search_terms, fields, similarity, ngram: int,
+                 slop: int = 0):
     """pf (ngram=0 means whole phrase), pf2 (ngram=2), pf3 (ngram=3) scoring.
+
+    One batched device program per field scores all grams; the result stays
+    on device ([N] or None).  The caller masks to main-query matches, which
+    is numerically identical to the reference's row-subset scoring
+    (solr.py:328-338) — per-row phrase scores are independent and use
+    whole-index stats either way.
 
     ``slop`` wires the Solr ps/ps2/ps3 parameters into the phrase phases
     (the reference accepts but never applies them, solr.py:178-248)."""
-    scores: List[np.ndarray] = []
+    total = None
     explain = ""
     for field, boost in fields.items():
-        arr = searchable[field]
+        arr = get_field(frame, field)
         terms = search_terms[field]
         min_terms = ngram if ngram else 2
         if len(terms) < min_terms:
@@ -177,19 +191,20 @@ def _ngram_phase(searchable, search_terms, fields, similarity, ngram: int,
             grams = [terms]
         else:
             grams = [terms[i : i + ngram] for i in range(len(terms) - ngram + 1)]
-        for gram in grams:
-            s = arr.score(gram, similarity=similarity[field],
-                          slop=slop) * _boost_val(boost)
-            slop_exp = f"~{slop}" if slop else ""
-            explain += f" ({field}:\"{' '.join(gram)}\"{slop_exp})^{_boost_exp(boost)}"
-            scores.append(s)
+        gram_scores = arr.score_batch_device(
+            grams, similarity=similarity[field], slop=slop)
+        contrib = gram_scores.sum(axis=0)
         if ngram == 2 and grams:
             # parity quirk: the reference double-appends the final bigram
             # (solr.py:221)
-            scores.append(s)
-    if len(scores) > 0:
-        return np.sum(scores, axis=0), explain
-    return scores, explain
+            contrib = contrib + gram_scores[-1]
+        total = (contrib * np.float32(_boost_val(boost))
+                 if total is None
+                 else total + contrib * np.float32(_boost_val(boost)))
+        for gram in grams:
+            slop_exp = f"~{slop}" if slop else ""
+            explain += f" ({field}:\"{' '.join(gram)}\"{slop_exp})^{_boost_exp(boost)}"
+    return total, explain
 
 
 def edismax(frame: pd.DataFrame, q: str, qf: List[str],
@@ -240,27 +255,27 @@ def edismax(frame: pd.DataFrame, q: str, qf: List[str],
             tie=tie, similarity=similarity,
         )
 
-    # Phrase phases run only over rows matched by the main query.
-    searchable = {
-        field: cast(SearchArray, frame[field].array)[qf_scores > 0]
-        for field in query_fields
-    }
+    # Phrase phases contribute only at rows matched by the main query
+    # (device mask == the reference's row-subset scoring, solr.py:328-338).
+    import jax.numpy as jnp
+
     phrase_scores, pf_explain = _ngram_phase(
-        searchable, search_terms, phrase_fields, similarity, 0, ps
+        frame, search_terms, phrase_fields, similarity, 0, ps
     )
     explain += pf_explain
     bigram_scores, pf2_explain = _ngram_phase(
-        searchable, search_terms, bigram_fields, similarity, 2, ps2
+        frame, search_terms, bigram_fields, similarity, 2, ps2
     )
     explain += pf2_explain
     trigram_scores, pf3_explain = _ngram_phase(
-        searchable, search_terms, trigram_fields, similarity, 3, ps3
+        frame, search_terms, trigram_fields, similarity, 3, ps3
     )
     explain += pf3_explain
 
     for extra in (phrase_scores, bigram_scores, trigram_scores):
-        if len(extra) > 0:
-            term_match_idx = np.where(qf_scores)[0]
-            qf_scores[term_match_idx] += extra
+        if extra is not None:
+            qf_scores = qf_scores + jnp.where(qf_scores > 0, extra,
+                                              np.float32(0.0))
 
-    return qf_scores, explain
+    # the single host transfer for the whole query
+    return np.asarray(qf_scores, dtype=np.float32), explain
