@@ -185,11 +185,13 @@ class _IndexState:
     makes a new holder — copy-on-write.
     """
 
-    __slots__ = ("built", "dev")
+    __slots__ = ("built", "dev", "sharded")
 
-    def __init__(self, built: BuiltIndex, dev: Optional[DeviceIndex] = None):
+    def __init__(self, built: BuiltIndex, dev: Optional[DeviceIndex] = None,
+                 sharded=None):
         self.built = built
         self.dev = dev
+        self.sharded = sharded  # parallel.ShardedIndex when mesh-indexed
 
 
 class SearchArray(ExtensionArray):
@@ -256,8 +258,13 @@ class SearchArray(ExtensionArray):
     def index(cls, array: Iterable, tokenizer=ws_tokenizer, truncate=False,
               batch_size=100_000, avoid_copies=True, workers=4,
               cache_gt_than=25, data_dir: Optional[str] = None,
-              autowarm=True) -> "SearchArray":
-        """Tokenize and index an iterable of strings."""
+              autowarm=True, mesh=None) -> "SearchArray":
+        """Tokenize and index an iterable of strings.
+
+        With ``mesh`` (a jax.sharding.Mesh with "docs"/"queries" axes) the
+        postings are additionally doc-sharded across the mesh's devices
+        (parallel.ShardedIndex); score_batch/edismax then execute SPMD.
+        """
         if not is_list_like(array):
             raise TypeError("Expected list-like object, got {}".format(type(array)))
         built = build_index(array, tokenizer, truncate=truncate,
@@ -268,6 +275,10 @@ class SearchArray(ExtensionArray):
             memmap_postings(built.postings, data_dir)
         arr = cls([], tokenizer=tokenizer, avoid_copies=avoid_copies)
         arr._attach(built)
+        if mesh is not None:
+            from searcharray_tpu.parallel.sharded import ShardedIndex
+
+            arr._state.sharded = ShardedIndex.build(built, mesh=mesh)
         if autowarm:
             arr.warm()
         return arr
@@ -535,6 +546,16 @@ class SearchArray(ExtensionArray):
         # device buffers re-upload lazily on first search
         self._attach(state["built"], rows=state["rows"], subset=state["subset"])
 
+    def _resolve_tids(self, tokens: List[str]) -> List[int]:
+        """Token list -> term ids (-1 for vocabulary misses)."""
+        tids = []
+        for t in tokens:
+            try:
+                tids.append(self.term_dict.get_term_id(t))
+            except TermMissingError:
+                tids.append(-1)
+        return tids
+
     def _check_token_arg(self, token):
         if isinstance(token, str):
             return token
@@ -686,14 +707,20 @@ class SearchArray(ExtensionArray):
             qtids = []
             for q in queries:
                 q = self._check_token_arg(q)
-                toks = [q] if isinstance(q, str) else q
-                tids = []
-                for t in toks:
-                    try:
-                        tids.append(self.term_dict.get_term_id(t))
-                    except TermMissingError:
-                        tids.append(-1)
-                qtids.append(tids)
+                qtids.append(self._resolve_tids(
+                    [q] if isinstance(q, str) else q))
+            sharded = self._state.sharded
+            if sharded is not None and full_view:
+                dense_dev = sharded.score_batch_device(qtids, kind, k1, b)
+                if top_k is not None:
+                    k = min(top_k, len(self))
+                    import jax
+
+                    scores, idx = jax.jit(
+                        lambda d: jax.lax.top_k(d, k))(dense_dev)
+                    return (np.asarray(scores, dtype=np.float32),
+                            np.asarray(idx, dtype=np.int64))
+                return np.asarray(dense_dev, dtype=np.float32)
             if full_view:
                 if top_k is not None:
                     k = min(top_k, len(self))
@@ -763,28 +790,36 @@ class SearchArray(ExtensionArray):
                 [self.score(q, similarity=similarity, slop=slop)
                  for q in queries]))
         kind, k1, b = fused
+        full_view = not self.subset and len(self.rows) == self.corpus_size
+        sharded = self._state.sharded
         if slop != 0:
+            if sharded is not None and full_view:
+                pending = []
+                for q in queries:
+                    q = self._check_token_arg(q)
+                    if isinstance(q, str):
+                        pending.append(sharded.score_batch_device(
+                            [self._resolve_tids([q])], kind, k1, b)[0])
+                    else:
+                        pending.append(sharded.span_freqs(
+                            q, slop, k1=k1, b=b, kind=kind))
+                return jnp.stack(pending)
             pending = [
                 self._score_fused(self._check_token_arg(q), fused, slop,
                                   None, None)
                 for q in queries
             ]
             out = jnp.stack([jnp.asarray(p) for p in pending])
-            if not self.subset and len(self.rows) == self.corpus_size:
+            if full_view:
                 return out
             return out[:, self.rows]
         qtids = []
         for q in queries:
             q = self._check_token_arg(q)
-            toks = [q] if isinstance(q, str) else q
-            tids = []
-            for t in toks:
-                try:
-                    tids.append(self.term_dict.get_term_id(t))
-                except TermMissingError:
-                    tids.append(-1)
-            qtids.append(tids)
-        full_view = not self.subset and len(self.rows) == self.corpus_size
+            qtids.append(self._resolve_tids([q] if isinstance(q, str)
+                                            else q))
+        if sharded is not None and full_view:
+            return sharded.score_batch_device(qtids, kind, k1, b)
         if full_view:
             return batch_mod.score_batch_fused(self.dev, qtids, kind, k1, b,
                                                as_device=True)

@@ -187,6 +187,73 @@ class ShardedIndex:
                 np.asarray(idx, dtype=np.int64))
 
 
+    def score_batch_device(self, queries_tids, kind: str = "bm25",
+                           k1: float = 1.2, b: float = 0.75):
+        """Mixed term/phrase batch -> f32[Q, N] device array (sharded).
+
+        The sharded counterpart of batch.score_batch_fused(as_device=True):
+        term queries run as one shard_map program; phrases dispatch the
+        per-shard chain per query.  edismax composes on top of this
+        transparently (solr.py), so the full query DSL runs on a mesh.
+        """
+        import jax.numpy as jnp
+
+        from searcharray_tpu.search.scoring import host_idf
+
+        Q = len(queries_tids)
+        N = self.corpus_size
+        out = jnp.zeros((Q, N), jnp.float32)
+        term_rows: list = []
+        for qi, tids in enumerate(queries_tids):
+            if tids is None or len(tids) == 0 or any(t < 0 for t in tids):
+                continue
+            dfs = [int(self.doc_freqs[t]) for t in tids]
+            idf = host_idf(kind, dfs, N, self.avg_doc_length)
+            if len(tids) == 1:
+                term_rows.append((qi, tids[0], idf))
+            else:
+                if min(int(self._host_lengths[:, t].sum()) for t in tids) == 0:
+                    continue
+                ph = self._phrase_tids(tids, kind=kind, k1=k1, b=b,
+                                       idf=float(idf))
+                out = out.at[qi].set(ph)
+        if term_rows:
+            tids_np = np.asarray([t for _, t, _ in term_rows], np.int64)
+            idfs_np = np.asarray([i for _, _, i in term_rows], np.float32)
+            scores = self._score_terms(tids_np, idfs_np, kind, k1, b)
+            qidx = np.asarray([qi for qi, _, _ in term_rows], np.int64)
+            out = out.at[jnp.asarray(qidx)].set(scores)
+        return out
+
+    def _score_terms(self, tids_np: np.ndarray, idfs_np: np.ndarray,
+                     kind: str, k1: float, b: float):
+        """One-term-per-query batch with host-side idfs -> [Qt, N]."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bucket = self._max_bucket_for(tids_np)
+        qaxis = self.mesh.shape["queries"]
+        Q = len(tids_np)
+        Qp = -(-Q // qaxis) * qaxis
+        if Qp != Q:
+            tids_np = np.concatenate(
+                [tids_np, np.full(Qp - Q, -1, dtype=np.int64)])
+            idfs_np = np.concatenate(
+                [idfs_np, np.zeros(Qp - Q, dtype=np.float32)])
+        key = ("terms1", self.corpus_size, self.max_shard_docs,
+               self.blk_bits, self.num_shards, float(self.avg_doc_length),
+               Qp, bucket, kind, k1, b)
+        fn = _score_cache.get(key)
+        if fn is None:
+            fn = _build_sharded_term_scores(self, bucket, kind, k1, b)
+            _score_cache[key] = fn
+        sh = NamedSharding(self.mesh, P("queries"))
+        tids = jax.device_put(tids_np, sh)
+        idfs = jax.device_put(idfs_np, sh)
+        out = fn(self.hdrs, self.pays, self.offsets, self.lengths,
+                 self.doc_lens, tids, idfs)
+        return out[:Q]
+
     def phrase_freqs(self, tokens: Sequence[str], k1: float = 1.2,
                      b: float = 0.75, kind: str = "none"):
         """Exact-phrase frequencies (or BM25 scores) corpus-wide, computed
@@ -197,6 +264,10 @@ class ShardedIndex:
         if any(t not in self.vocab for t in tokens):
             return jnp.zeros(self.corpus_size, dtype=jnp.float32)
         tids = [self.vocab.get_term_id(t) for t in tokens]
+        return self._phrase_tids(tids, kind=kind, k1=k1, b=b)
+
+    def _phrase_tids(self, tids, kind: str = "none", k1: float = 1.2,
+                     b: float = 0.75, idf=None):
         buckets = tuple(
             bucket_of(int(self._host_lengths[:, t].max(initial=1)))
             for t in tids
@@ -204,14 +275,15 @@ class ShardedIndex:
         lengths = [int(self._host_lengths[:, t].sum()) for t in tids]
         split = int(np.argmin(lengths))
         tids_key = tuple(tids.index(t) for t in tids)
-        if kind == "none":
-            idf = 0.0
-        else:
-            from searcharray_tpu.search.scoring import host_idf
+        if idf is None:
+            if kind == "none":
+                idf = 0.0
+            else:
+                from searcharray_tpu.search.scoring import host_idf
 
-            dfs = [int(self.doc_freqs[t]) for t in tids]
-            idf = float(host_idf(kind, dfs, self.corpus_size,
-                                 self.avg_doc_length))
+                dfs = [int(self.doc_freqs[t]) for t in tids]
+                idf = float(host_idf(kind, dfs, self.corpus_size,
+                                     self.avg_doc_length))
         fn = _sharded_phrase_fn(self, buckets, tids_key, split, kind, k1, b)
         offs = np.stack(
             [np.asarray(self.offsets)[:, t] for t in tids], axis=1
@@ -416,6 +488,65 @@ def _sharded_score(idx: ShardedIndex, tids_np: np.ndarray, bucket: int,
         tids_np, NamedSharding(idx.mesh, P("queries", None))
     )
     return fn(idx.hdrs, idx.pays, idx.offsets, idx.lengths, idx.doc_lens, tids)
+
+
+def _build_sharded_term_scores(idx: ShardedIndex, bucket: int, kind: str,
+                               k1: float, b: float):
+    """One term per query, host-side idf, any builtin similarity — the
+    building block the sharded edismax composition scores fields with."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from searcharray_tpu.search.scoring import apply_similarity_device
+
+    N_shard = idx.max_shard_docs
+    avgdl = np.float32(max(idx.avg_doc_length, 1e-38))
+    blk_bits = idx.blk_bits
+    mesh = idx.mesh
+
+    def local(hdr_s, pay_s, off_s, len_s, doc_lens_s, tids_q, idfs_q):
+        hdr_s, pay_s = hdr_s[0], pay_s[0]
+        off_s, len_s, doc_lens_s = off_s[0], len_s[0], doc_lens_s[0]
+
+        def one_query(tid, idf):
+            hit = tid >= 0
+            tid_c = jnp.maximum(tid, 0)
+            off = off_s[tid_c]
+            n = len_s[tid_c] * hit
+            h = jax.lax.dynamic_slice(hdr_s, (off,), (bucket,))
+            p = jax.lax.dynamic_slice(pay_s, (off,), (bucket,))
+            valid = jnp.arange(bucket, dtype=jnp.int32) < n
+            h = jnp.where(valid, h, jnp.int32(PAD_HDR32))
+            p = jnp.where(valid, p, jnp.uint32(0))
+            keys = (h >> jnp.int32(blk_bits)).astype(jnp.int32)
+            pops = jax.lax.population_count(p).astype(jnp.float32)
+            tf = jnp.zeros(N_shard, jnp.float32).at[keys].add(pops,
+                                                              mode="drop")
+            s = apply_similarity_device(kind, tf, doc_lens_s, idf, avgdl,
+                                        k1, b)
+            return jnp.where(hit, s, 0.0)
+
+        return jax.vmap(one_query)(tids_q, idfs_q)[None]
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("docs", None), P("docs", None), P("docs", None),
+                  P("docs", None), P("docs", None), P("queries"),
+                  P("queries")),
+        out_specs=P("docs", "queries", None),
+    )
+
+    num_real_docs = idx.corpus_size
+
+    @jax.jit
+    def run(hdrs, pays, offsets, lengths, doc_lens, tids, idfs):
+        out = mapped(hdrs, pays, offsets, lengths, doc_lens, tids, idfs)
+        out = jnp.moveaxis(out, 0, 1)  # [S, Q, N_shard] -> [Q, S, N_shard]
+        return out.reshape(out.shape[0], -1)[:, :num_real_docs]
+
+    return run
 
 
 def _build_sharded_score(idx: ShardedIndex, T: int, bucket: int,
