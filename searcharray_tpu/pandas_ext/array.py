@@ -714,10 +714,8 @@ class SearchArray(ExtensionArray):
                 dense_dev = sharded.score_batch_device(qtids, kind, k1, b)
                 if top_k is not None:
                     k = min(top_k, len(self))
-                    import jax
-
-                    scores, idx = jax.jit(
-                        lambda d: jax.lax.top_k(d, k))(dense_dev)
+                    scores, idx = sharded.topk_fn(dense_dev.shape, k)(
+                        dense_dev)
                     return (np.asarray(scores, dtype=np.float32),
                             np.asarray(idx, dtype=np.int64))
                 return np.asarray(dense_dev, dtype=np.float32)

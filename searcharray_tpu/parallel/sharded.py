@@ -165,26 +165,70 @@ class ShardedIndex:
                      k1: float = 1.2, b: float = 0.75):
         """Distributed ranked retrieval: per-query global top-k.
 
-        Scores stay sharded; each doc shard reduces to its local top-k and
-        only S*k candidates per query are combined globally — the classic
-        distributed top-k, so no dense [Q, N] vector is ever gathered.
         Returns host (scores[Q, k], global doc indices[Q, k]).
+        """
+        k = min(k, self.corpus_size)
+        dense = self.score_queries(queries, k1=k1, b=b)  # [Q, N] sharded
+        scores, idx = self.topk_fn(dense.shape, k)(dense)
+        return (np.asarray(scores, dtype=np.float32),
+                np.asarray(idx, dtype=np.int64))
+
+    def topk_fn(self, shape, k: int):
+        """Compiled distributed top-k over a docs-sharded [Q, N] array.
+
+        Naive ``lax.top_k`` under GSPMD all-gathers the FULL doc axis
+        first (verified on the compiled HLO — round-1 assumed otherwise).
+        This version reduces each shard to its local top-k under
+        shard_map, so only the [Q, S*k] candidate matrix crosses chips
+        for the final combine (tests/test_sharded.py pins the HLO).
         """
         import jax
         import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
 
-        k = min(k, self.corpus_size)
-        dense = self.score_queries(queries, k1=k1, b=b)  # [Q, N] sharded
-        key = ("topk", dense.shape, k)
+        key = ("topk", shape, k)
         fn = _score_cache.get(key)
-        if fn is None:
-            # lax.top_k over the doc axis runs shard-local under the output
-            # sharding; XLA inserts the cross-shard candidate combine.
-            fn = jax.jit(lambda d: jax.lax.top_k(d, k))
-            _score_cache[key] = fn
-        scores, idx = fn(dense)
-        return (np.asarray(scores, dtype=np.float32),
-                np.asarray(idx, dtype=np.int64))
+        if fn is not None:
+            return fn
+
+        N_shard = self.max_shard_docs
+        kl = min(k, N_shard)
+
+        def local(d):
+            # d: [Qb, 1(docs axis), N_shard] after shard_map splits
+            s, i = jax.lax.top_k(d[:, 0, :], kl)
+            base = jax.lax.axis_index("docs").astype(jnp.int32) * N_shard
+            return s[:, None, :], (i.astype(jnp.int32) + base)[:, None, :]
+
+        mapped = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=P("queries", "docs"),
+            out_specs=(P("queries", "docs", None),
+                       P("queries", "docs", None)),
+        )
+
+        num_real = self.corpus_size
+        full = self.num_shards * N_shard
+
+        @jax.jit
+        def run(dense):
+            # pad the doc axis back to S*N_shard and reshape to
+            # [Q, S, N_shard] so the doc shards map to a mesh axis;
+            # candidates are [Q, S, kl] -> [Q, S*kl] (small)
+            Q = dense.shape[0]
+            if full != num_real:
+                dense = jnp.pad(dense, ((0, 0), (0, full - num_real)),
+                                constant_values=-jnp.inf)
+            d3 = dense.reshape(Q, self.num_shards, N_shard)
+            cs, ci = mapped(d3)
+            cs = cs.reshape(Q, -1)
+            ci = ci.reshape(Q, -1)
+            s, j = jax.lax.top_k(cs, k)
+            return s, jnp.take_along_axis(ci, j, axis=1)
+
+        _score_cache[key] = run
+        return run
 
 
     def score_batch_device(self, queries_tids, kind: str = "bm25",
