@@ -163,4 +163,100 @@ void sa_sort_by_term(const int32_t* term_ids, int64_t n, int32_t num_terms,
   for (int64_t i = 0; i < n; ++i) perm[counts[term_ids[i]]++] = i;
 }
 
+// Fused index inversion + roaringish encoding, one batch in one call.
+//
+// Replaces the numpy pipeline (builder.py: np.repeat doc ids/posns,
+// counting-sort gather, segmented reduceat encode, lexsort doc-term CSR)
+// with three O(n) passes.  Wire format per word (frozen):
+//   u64 = doc_key << 36 | (posn / 18) << 18 | 1 << (posn % 18)
+//
+// Inputs : term_ids[n] in token order, doc_lens[n_docs] (tokens per doc),
+//          start_doc (global id of doc 0), num_terms (vocab size).
+// Outputs: words_out       (cap n)        packed posting words, term-major
+//          present_out     (cap num_terms) term ids with >=1 posting
+//          bounds_out      (cap num_terms+1) word ranges per present term
+//          dt_cols_out     (cap n)        doc->term CSR columns (term asc)
+//          dt_rows_out     (n_docs+1)     doc->term CSR offsets
+//          sizes_out[3]  = {n_words, n_present, n_pairs}
+void sa_invert_encode(const int32_t* term_ids, int64_t n,
+                      const int32_t* doc_lens, int64_t n_docs,
+                      int64_t start_doc, int32_t num_terms,
+                      uint64_t* words_out, int32_t* present_out,
+                      int64_t* bounds_out, uint32_t* dt_cols_out,
+                      int64_t* dt_rows_out, int64_t* sizes_out) {
+  // pass 1: histogram -> term-major offsets
+  std::vector<int64_t> offsets(static_cast<size_t>(num_terms) + 1, 0);
+  for (int64_t i = 0; i < n; ++i) offsets[term_ids[i] + 1]++;
+  for (int32_t t = 0; t < num_terms; ++t) offsets[t + 1] += offsets[t];
+
+  // pass 2: scatter (doc, posn) into term-major order (stable)
+  std::vector<int32_t> tdoc(static_cast<size_t>(n));
+  std::vector<int32_t> tposn(static_cast<size_t>(n));
+  {
+    std::vector<int64_t> cursor(offsets.begin(), offsets.end() - 1);
+    int64_t i = 0;
+    for (int64_t d = 0; d < n_docs; ++d) {
+      const int32_t len = doc_lens[d];
+      for (int32_t p = 0; p < len; ++p, ++i) {
+        const int64_t slot = cursor[term_ids[i]]++;
+        tdoc[slot] = static_cast<int32_t>(d);
+        tposn[slot] = p;
+      }
+    }
+  }
+
+  // pass 3: encode words + collect (doc, term) pairs per doc
+  std::vector<int64_t> dt_count(static_cast<size_t>(n_docs) + 1, 0);
+  std::vector<int32_t> pair_doc;
+  std::vector<int32_t> pair_term;
+  pair_doc.reserve(1024);
+  pair_term.reserve(1024);
+  int64_t w = 0;
+  int64_t n_present = 0;
+  for (int32_t t = 0; t < num_terms; ++t) {
+    const int64_t lo = offsets[t], hi = offsets[t + 1];
+    if (lo == hi) continue;
+    present_out[n_present] = t;
+    bounds_out[n_present] = w;
+    ++n_present;
+    uint64_t prev_hdr = ~0ull;
+    int32_t prev_doc = -1;
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint64_t key = static_cast<uint64_t>(start_doc + tdoc[i]);
+      const uint64_t posn = static_cast<uint64_t>(tposn[i]);
+      const uint64_t hdr = (key << 36) | ((posn / 18) << 18);
+      const uint64_t bit = 1ull << (posn % 18);
+      if (hdr != prev_hdr) {
+        words_out[w++] = hdr | bit;
+        prev_hdr = hdr;
+      } else {
+        words_out[w - 1] |= bit;
+      }
+      if (tdoc[i] != prev_doc) {
+        prev_doc = tdoc[i];
+        dt_count[tdoc[i] + 1]++;
+        pair_doc.push_back(tdoc[i]);
+        pair_term.push_back(t);
+      }
+    }
+  }
+  bounds_out[n_present] = w;
+
+  // pass 4: doc-major CSR from the term-major (doc, term) pairs; terms
+  // come out ascending per doc because pass 3 visits terms ascending
+  for (int64_t d = 0; d < n_docs; ++d) dt_count[d + 1] += dt_count[d];
+  for (int64_t d = 0; d <= n_docs; ++d) dt_rows_out[d] = dt_count[d];
+  {
+    std::vector<int64_t> cursor(dt_count.begin(), dt_count.end() - 1);
+    const int64_t n_pairs = static_cast<int64_t>(pair_doc.size());
+    for (int64_t i = 0; i < n_pairs; ++i) {
+      dt_cols_out[cursor[pair_doc[i]]++] =
+          static_cast<uint32_t>(pair_term[i]);
+    }
+    sizes_out[2] = n_pairs;
+  }
+  sizes_out[0] = w;
+  sizes_out[1] = n_present;
+}
+
 }  // extern "C"

@@ -17,11 +17,23 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Callable, Iterable, List, Optional
 
+import logging
+
 import numpy as np
 import pandas as pd
 
 from searcharray_tpu.ops import encoding as enc
 from searcharray_tpu.index.vocab import Vocabulary
+
+# INFO-level build progress, reference parity (indexing.py:14-20,86-87):
+# long builds must not be silent.  Handlers/levels are left to the host
+# application; `SEARCHARRAY_TPU_LOG=1` installs a stderr handler.
+logger = logging.getLogger("searcharray_tpu.index")
+import os as _os
+
+if _os.environ.get("SEARCHARRAY_TPU_LOG") == "1":  # pragma: no cover
+    logging.basicConfig(level=logging.INFO)
+    logger.setLevel(logging.INFO)
 
 
 def ws_tokenizer(string):
@@ -280,6 +292,22 @@ def _tokenize_batch(
             dt_rows=np.zeros(len(docs) + 1, dtype=np.int64),
         )
 
+    # Fused O(n) native inversion + encode when the C++ runtime is up
+    # (replaces the repeat/counting-sort/reduceat/lexsort numpy pipeline).
+    from searcharray_tpu.index import native as native_mod
+
+    fused = native_mod.invert_encode(term_ids, lens, start_doc, len(vocab))
+    if fused is not None:
+        words, present, bounds, dt_cols, dt_rows = fused
+        return _BatchResult(
+            term_ids=present.astype(np.int64),
+            words=words,
+            bounds=bounds,
+            doc_lens=doc_lens,
+            dt_cols=dt_cols,
+            dt_rows=dt_rows,
+        )
+
     doc_ids = np.repeat(
         np.arange(start_doc, start_doc + len(docs), dtype=np.int64), lens
     )
@@ -288,8 +316,6 @@ def _tokenize_batch(
 
     # Term-major inversion; doc/posn order within a term is preserved.
     # O(n + V) native counting sort when available, else stable argsort.
-    from searcharray_tpu.index import native as native_mod
-
     order = native_mod.sort_by_term(term_ids, len(vocab))
     if order is None:
         order = np.argsort(term_ids, kind="stable")
@@ -423,21 +449,42 @@ def build_index(
     Thread workers overlap Python tokenisation (GIL released inside numpy /
     factorize) like the reference's pool (`indexing.py:253-280`).
     """
+    import time as _time
+
     vocab = Vocabulary()
     results: List[_BatchResult] = []
+    t0 = _time.perf_counter()
+    done_docs = 0
+    done_tokens = 0
+
+    def _log_batch(res: _BatchResult) -> None:
+        nonlocal done_docs, done_tokens
+        done_docs += len(res.doc_lens)
+        done_tokens += int(res.doc_lens.sum())
+        dt = _time.perf_counter() - t0
+        logger.info(
+            "Indexed %d docs (%d tokens, %d terms, %.0f docs/s, %.1f MB "
+            "postings this batch)", done_docs, done_tokens, len(vocab),
+            done_docs / max(dt, 1e-9), res.words.nbytes / 1e6,
+        )
 
     if workers and workers > 1:
+        from concurrent.futures import as_completed
+
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = [
                 pool.submit(_tokenize_batch, batch, tokenizer, vocab, start, truncate)
                 for start, batch in _batched(array, batch_size)
             ]
+            for f in as_completed(futures):
+                _log_batch(f.result())
             results = [f.result() for f in futures]
     else:
-        results = [
-            _tokenize_batch(batch, tokenizer, vocab, start, truncate)
-            for start, batch in _batched(array, batch_size)
-        ]
+        results = []
+        for start, batch in _batched(array, batch_size):
+            res = _tokenize_batch(batch, tokenizer, vocab, start, truncate)
+            _log_batch(res)
+            results.append(res)
 
     if not results:
         return BuiltIndex(

@@ -98,6 +98,21 @@ def get_lib():
             ctypes.c_int32,
             np.ctypeslib.ndpointer(np.int64),
         ]
+        lib.sa_invert_encode.restype = None
+        lib.sa_invert_encode.argtypes = [
+            np.ctypeslib.ndpointer(np.int32),   # term_ids
+            ctypes.c_int64,                     # n
+            np.ctypeslib.ndpointer(np.int32),   # doc_lens
+            ctypes.c_int64,                     # n_docs
+            ctypes.c_int64,                     # start_doc
+            ctypes.c_int32,                     # num_terms
+            np.ctypeslib.ndpointer(np.uint64),  # words_out
+            np.ctypeslib.ndpointer(np.int32),   # present_out
+            np.ctypeslib.ndpointer(np.int64),   # bounds_out
+            np.ctypeslib.ndpointer(np.uint32),  # dt_cols_out
+            np.ctypeslib.ndpointer(np.int64),   # dt_rows_out
+            np.ctypeslib.ndpointer(np.int64),   # sizes_out
+        ]
         _lib = lib
         return _lib
 
@@ -161,3 +176,31 @@ def sort_by_term(term_ids: np.ndarray, num_terms: int) -> Optional[np.ndarray]:
     perm = np.empty(len(term_ids), dtype=np.int64)
     lib.sa_sort_by_term(term_ids, len(term_ids), num_terms, perm)
     return perm
+
+
+def invert_encode(term_ids: np.ndarray, doc_lens: np.ndarray,
+                  start_doc: int, num_terms: int):
+    """Fused inversion + roaringish encode for one batch (C++, O(n)).
+
+    Returns (words u64[W], present int32[P], bounds int64[P+1],
+    dt_cols u32[PAIRS], dt_rows int64[D+1]) or None without the library.
+    The GIL is released during the call, so worker threads overlap.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    term_ids = np.ascontiguousarray(term_ids, dtype=np.int32)
+    doc_lens = np.ascontiguousarray(doc_lens, dtype=np.int32)
+    n = len(term_ids)
+    words = np.empty(n, dtype=np.uint64)
+    present = np.empty(min(n, num_terms), dtype=np.int32)
+    bounds = np.empty(min(n, num_terms) + 1, dtype=np.int64)
+    dt_cols = np.empty(n, dtype=np.uint32)
+    dt_rows = np.empty(len(doc_lens) + 1, dtype=np.int64)
+    sizes = np.zeros(3, dtype=np.int64)
+    lib.sa_invert_encode(term_ids, n, doc_lens, len(doc_lens),
+                         int(start_doc), num_terms, words, present, bounds,
+                         dt_cols, dt_rows, sizes)
+    w, p, pairs = int(sizes[0]), int(sizes[1]), int(sizes[2])
+    return (words[:w].copy(), present[:p].copy(), bounds[: p + 1].copy(),
+            dt_cols[:pairs].copy(), dt_rows)

@@ -103,9 +103,14 @@ def encode_flat(
 
     change = np.flatnonzero(hdr[1:] != hdr[:-1]) + 1
     if term_starts is not None:
+        # union of two sorted index sets in O(n) (np.union1d re-sorts and
+        # was the hottest line of the 1M-doc build profile)
         starts = np.asarray(term_starts, dtype=np.int64)
-        cuts = np.union1d(change, starts[starts > 0])
-        cuts = np.concatenate([[0], cuts]) if (len(cuts) == 0 or cuts[0] != 0) else cuts
+        flags = np.zeros(n, dtype=bool)
+        flags[change] = True
+        s = starts[(starts > 0) & (starts < n)]
+        flags[s] = True
+        cuts = np.concatenate([[0], np.flatnonzero(flags)])
     else:
         cuts = np.concatenate([[0], change])
     cuts = cuts.astype(np.int64)

@@ -40,6 +40,7 @@ def _force_python(monkeypatch):
     monkeypatch.setattr(native_mod, "tokenize_corpus",
                         lambda *a, **k: None)
     monkeypatch.setattr(native_mod, "sort_by_term", lambda *a, **k: None)
+    monkeypatch.setattr(native_mod, "invert_encode", lambda *a, **k: None)
 
 
 @pytest.mark.parametrize("tokenizer", [ws_tokenizer, std_tokenizer],
