@@ -278,6 +278,10 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
             if dense_ok:
                 gkey = ("dphrase", len(tids), plan_key, pattern)
             else:
+                from searcharray_tpu.search.phrase import trim_spans
+
+                spans = trim_spans(dev, spans)  # rarest-term pre-slice
+                lengths = [s[1] for s in spans]
                 bucket = K.bucket_of(max(lengths))
                 gkey = ("phrase", len(tids), bucket, plan_key, pattern)
             row = (qi, np.asarray([s[0] for s in spans], np.int32),

@@ -609,6 +609,43 @@ def _composite_fn(buckets, tids, split, num_docs, blk_bits, windowed,
     )
 
 
+TRIM_FACTOR = 20  # reference parity: middle_out.py:66
+
+
+def trim_spans(index: DeviceIndex, spans):
+    """Pre-slice frequent terms to the rarest term's doc-key range.
+
+    The analog of the reference's ``trim_phrase_search``
+    (`/root/reference/searcharray/phrase/middle_out.py:44-70`): any term
+    more than TRIM_FACTOR times longer than the rarest is narrowed, by a
+    binary search on its sorted posting words, to the key window the
+    rarest term occupies.  Docs outside that window cannot match the
+    phrase (the rarest term's own chain step scores them 0 and the final
+    freq is the min over steps), so results are identical while stopword
+    buckets shrink to the rare term's neighbourhood.  Used by the sparse
+    sort-merge path; the dense engine's cost is posting-size independent.
+    """
+    lengths = [s[1] for s in spans]
+    n_r = min(lengths)
+    if n_r == 0 or max(lengths) <= TRIM_FACTOR * n_r:
+        return spans
+    rarest = int(np.argmin(lengths))
+    data = index.postings.data
+    off_r = spans[rarest][0]
+    lo_word = (int(data[off_r]) >> 36) << 36
+    hi_word = ((int(data[off_r + n_r - 1]) >> 36) + 1) << 36
+    out = []
+    for (off, n, b), L in zip(spans, lengths):
+        if L > TRIM_FACTOR * n_r:
+            sl = data[off: off + n]
+            lo = int(np.searchsorted(sl, np.uint64(lo_word)))
+            hi = int(np.searchsorted(sl, np.uint64(hi_word)))
+            off, n = off + lo, hi - lo
+            b = K.bucket_of(max(1, n))
+        out.append((off, n, b))
+    return out
+
+
 def phrase_freqs_dense(index: DeviceIndex, term_ids: List[int],
                        min_posn: Optional[int] = None,
                        max_posn: Optional[int] = None,
@@ -647,6 +684,9 @@ def phrase_freqs_dense(index: DeviceIndex, term_ids: List[int],
             return dense_mod.score_phrase_dense(
                 index, term_ids, _plan(len(term_ids), split), tids_key,
                 kind, k1, b, idf)
+
+    # sparse path from here: bound stopword buckets by the rarest term
+    spans = trim_spans(index, spans)
 
     use_composite = COMPOSITE_MODE == "always" or (
         COMPOSITE_MODE == "auto" and _backend() == "tpu"

@@ -230,3 +230,41 @@ def test_positions_with_mask():
     assert len(positions) == 25
     for posn in positions:
         assert np.array_equal(posn, [1, 2])
+
+
+def test_trim_spans_narrows_stopwords_and_preserves_results():
+    """trim_phrase_search analog (middle_out.py:44-70): terms >20x the
+    rarest term pre-slice to its doc-key range, with identical scores."""
+    import numpy as np
+
+    from searcharray_tpu import SearchArray
+    from searcharray_tpu.search import dense as dense_mod
+    from searcharray_tpu.search.phrase import trim_spans
+
+    rng = np.random.default_rng(3)
+    docs = []
+    for i in range(600):
+        words = list(rng.choice(["the", "of", "a"], size=30))
+        if i in (100, 400):
+            words[5:7] = ["rareterm", "the"]  # phrase "rareterm the"
+        docs.append(" ".join(words))
+    arr = SearchArray.index(docs)
+    dev = arr.dev
+    tids = [arr.term_dict.get_term_id(t) for t in ["rareterm", "the"]]
+    spans = [dev.term_span(t) for t in tids]
+    trimmed = trim_spans(dev, spans)
+    assert trimmed[0] == spans[0]  # rarest untouched
+    assert trimmed[1][1] < spans[1][1]  # stopword narrowed
+    # key range covers both occurrences' docs
+    assert trimmed[1][1] >= 2
+    # trimmed sparse path == dense path scores
+    dense_scores = arr.score(["rareterm", "the"])
+    import pytest
+
+    with pytest.MonkeyPatch.context() as m:
+        m.setattr(dense_mod, "DENSE_TERM_BYTES_LIMIT", 0)
+        sparse_scores = arr.score(["rareterm", "the"])
+    np.testing.assert_allclose(dense_scores, sparse_scores, rtol=1e-6)
+    assert sparse_scores[100] > 0 and sparse_scores[400] > 0
+    assert sparse_scores.sum() == pytest.approx(
+        sparse_scores[100] + sparse_scores[400])
