@@ -209,6 +209,94 @@ def phrase_counts_dense_planes(planes, pattern, plan, num_docs: int,
     return freqs
 
 
+# ---------------------------------------------------------------------------
+# slop spans on dense planes (mults == 1, window <= one block)
+# ---------------------------------------------------------------------------
+def _shift_posns_down(x, k: int):
+    """y(p) = x(p + k), 1 <= k <= LSB_BITS (pulls from the next slot)."""
+    import jax.numpy as jnp
+
+    nxt = _shift_down(x)
+    if k == LSB_BITS:
+        return nxt
+    lsb = jnp.uint32(_LSB32)
+    return ((x >> k) | (nxt << (LSB_BITS - k))) & lsb
+
+
+def _shift_posns_up(x, k: int):
+    """y(p) = x(p - k), 1 <= k <= LSB_BITS (pulls from the previous slot;
+    slot 0 pulls the previous doc's empty spare slot, so docs never leak)."""
+    import jax.numpy as jnp
+
+    prv = _shift_up(x)
+    if k == LSB_BITS:
+        return prv
+    lsb = jnp.uint32(_LSB32)
+    return ((x << k) | (prv >> (LSB_BITS - k))) & lsb
+
+
+def _dilate(x, length: int, shifter):
+    """OR of ``x`` shifted by every offset in [0, length) — log-step."""
+    y = x
+    cur = 1
+    while cur < length:
+        k = min(cur, length - cur)
+        y = y | shifter(y, k)
+        cur += k
+    return y
+
+
+def span_counts_dense_planes(planes, anchor_i: int, w: int, num_docs: int,
+                             slots: int):
+    """Per-doc slop span counts on dense planes ([..., NS] each).
+
+    Same semantics as spans._span_impl with all multiplicities 1: anchor
+    position p (rarest term) is covered iff some window [s, s+w] with
+    s <= p <= s+w contains a bit of every term.  ok(s) = AND of per-term
+    window presence (dilation down over [0, w]); covered(p) = OR of ok
+    over [p-w, p] (dilation up); counts = per-doc popcount of covered
+    anchors.  Valid for w <= LSB_BITS (shift never crosses two slots)."""
+    ok = None
+    for pl in planes:
+        present = _dilate(pl, w + 1, _shift_posns_down)
+        ok = present if ok is None else ok & present
+    covered = _dilate(ok, w + 1, _shift_posns_up)
+    anchored = planes[anchor_i] & covered
+    counts = _popcount_f32(anchored)
+    return counts.reshape(counts.shape[:-1] + (num_docs, slots)).sum(-1)
+
+
+def score_span_dense(dev: DeviceIndex, uniq_tids: List[int], anchor_i: int,
+                     w: int, kind: str, k1: float, b: float, idf):
+    """Single-query dense slop scoring (one dispatch after expansions)."""
+    import jax
+
+    T = len(uniq_tids)
+    key = ("dspan1", dev.corpus_size, dev.blk_bits, T, anchor_i, w, kind,
+           k1, b)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        from searcharray_tpu.search.scoring import apply_similarity_device
+
+        N = dev.corpus_size
+        S = plane_slots(dev)
+
+        def f(doc_lens, idf_, avgdl, *planes):
+            freqs = span_counts_dense_planes(list(planes), anchor_i, w, N, S)
+            return apply_similarity_device(kind, freqs, doc_lens, idf_,
+                                           avgdl, k1, b)
+
+        fn = jax.jit(f)
+        _jit_cache[key] = fn
+    seen = {}
+    for t in uniq_tids:
+        if t not in seen:
+            seen[t] = expand_term(dev, t)
+    planes = [seen[t] for t in uniq_tids]
+    avgdl = np.float32(max(dev.avg_doc_length, 1e-38))
+    return fn(dev.doc_lens, np.float32(idf), avgdl, *planes)
+
+
 def pack_topk(dense, k: int):
     """[..., N] -> int32 [..., 2k]: f32 score bits ‖ int32 doc indices —
     one packed array so a whole batch crosses the tunnel in one transfer."""

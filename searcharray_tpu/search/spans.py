@@ -170,6 +170,17 @@ def span_freqs_dense(
     if idf is None:
         idf = host_idf(kind, [index.doc_freqs[t] for t in term_ids],
                        index.corpus_size, index.avg_doc_length)
+
+    # dense block-layout path: elementwise dilations, no searchsorted
+    # neighbourhoods (the measured-slow dependent-gather pattern); needs
+    # distinct terms and a window within one slot shift
+    if (not windowed and w <= LSB_BITS and all(m == 1 for m in mults)):
+        from searcharray_tpu.search import dense as dense_mod
+
+        if dense_mod.dense_eligible(index):
+            return dense_mod.score_span_dense(index, uniq, anchor_i, w,
+                                              kind, k1, b, idf)
+
     from searcharray_tpu.search.phrase import _segsum_wpb
 
     segsum_wpb = _segsum_wpb(index)

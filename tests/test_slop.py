@@ -112,3 +112,30 @@ def test_unordered_within_window():
     assert got[0] > 0 and got[1] > 0 and got[2] == 0
     got3 = docs.termfreqs(["alpha", "beta"], slop=4)
     assert got3[2] > 0
+
+
+def test_dense_slop_matches_sparse_kernel():
+    """The dense dilation path must equal the windowed gather kernel on a
+    randomized corpus, including cross-block windows."""
+    import numpy as np
+    import pytest
+
+    from searcharray_tpu import SearchArray
+    from searcharray_tpu.search import dense as dense_mod
+
+    rng = np.random.default_rng(9)
+    vocab = ["a", "b", "c", "d", "e"] + [f"x{i}" for i in range(50)]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 80)))
+        for _ in range(500)
+    ]
+    arr = SearchArray.index(docs)
+    for q, slop in ((["a", "b"], 1), (["a", "b"], 5), (["a", "b", "c"], 3),
+                    (["d", "e"], 15), (["a", "c", "e"], 10)):
+        dense_scores = arr.termfreqs(q, slop=slop)
+        with pytest.MonkeyPatch.context() as m:
+            m.setattr(dense_mod, "DENSE_TERM_BYTES_LIMIT", 0)
+            sparse_scores = arr.termfreqs(q, slop=slop)
+        np.testing.assert_allclose(dense_scores, sparse_scores, rtol=1e-6,
+                                   err_msg=f"{q} slop={slop}")
+        assert dense_scores.sum() > 0
