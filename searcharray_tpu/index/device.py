@@ -56,12 +56,19 @@ class DeviceIndex:
         self.pays = jnp.asarray(np.concatenate([pay, pad_p]))
         self.doc_lens = jnp.asarray(built.doc_lens, dtype=jnp.float32)
         self._block_word_max = self._per_term_block_max(built, 1024)
-        # LRU of dense u32[N << blk_bits] payload planes for hot terms
-        # (search/dense.py); device HBM, bounded by DENSE_CACHE_BYTES.
+        # Device-resident dense pools (search/dense.py): plane_pool is
+        # u32[C, N << blk_bits] (one expanded payload plane per slot),
+        # tf_pool is f32[Ct, N].  Host keeps term -> slot maps in LRU
+        # order; pool fills are single donated-buffer programs per batch.
         from collections import OrderedDict
 
-        self.dense_cache: "OrderedDict[int, object]" = OrderedDict()
-        # LRU of dense f32[N] term-frequency vectors (search/dense.term_tf)
+        self.plane_pool = None
+        self.plane_slot: "OrderedDict[int, int]" = OrderedDict()
+        self.plane_free: list = []
+        self.tf_pool = None
+        self.tf_slot: "OrderedDict[int, int]" = OrderedDict()
+        self.tf_free: list = []
+        # dict-LRU tf fallback for pool-ineligible corpora (dense.term_tf)
         self.tf_cache: "OrderedDict[int, object]" = OrderedDict()
 
     @staticmethod

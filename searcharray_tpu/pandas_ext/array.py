@@ -678,7 +678,7 @@ class SearchArray(ExtensionArray):
 
     def score_batch(self, queries: List[Union[str, List[str]]],
                     similarity: Similarity = default_bm25, slop: int = 0,
-                    top_k: Optional[int] = None):
+                    top_k: Optional[int] = None, block: bool = True):
         """Score a batch of queries (terms or phrases) with one host sync.
 
         Queries are grouped by structure (terms together; phrases by
@@ -688,6 +688,13 @@ class SearchArray(ExtensionArray):
         or with ``top_k`` set, ``(scores[Q, k], indices[Q, k])`` — the
         k-selection is fused into the group programs and all groups'
         results cross the tunnel as one packed array.
+
+        With ``block=False`` (requires ``top_k``, exact-match queries, a
+        full un-sliced view, single chip) the call returns a zero-arg
+        ``collect()`` callable once all device work is enqueued; invoking
+        it performs the one blocking transfer.  A serving loop that
+        submits batch N+1 before collecting batch N overlaps each batch's
+        device-to-host round trip with the next batch's compute.
         """
         import jax
 
@@ -702,6 +709,12 @@ class SearchArray(ExtensionArray):
             idx = np.argsort(dense, axis=1)[:, ::-1][:, :top_k]
             return np.take_along_axis(dense, idx, axis=1), idx
         full_view = not self.subset and len(self.rows) == self.corpus_size
+        if not block and not (fused is not None and slop == 0
+                              and top_k is not None and full_view
+                              and self._state.sharded is None):
+            raise ValueError(
+                "block=False requires top_k, exact-match queries, a fused "
+                "similarity, a full un-sliced view, and a single chip")
         if slop == 0:
             kind, k1, b = fused
             qtids = []
@@ -723,7 +736,8 @@ class SearchArray(ExtensionArray):
                 if top_k is not None:
                     k = min(top_k, len(self))
                     return batch_mod.score_batch_fused(
-                        self.dev, qtids, kind, k1, b, top_k=k)
+                        self.dev, qtids, kind, k1, b, top_k=k,
+                        defer=not block)
                 return batch_mod.score_batch_fused(self.dev, qtids, kind,
                                                    k1, b)
             from searcharray_tpu.search import dense as dense_mod

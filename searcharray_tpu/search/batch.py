@@ -232,6 +232,47 @@ def _pack_topk(dense, k: int):
          idx.astype(jnp.int32)], axis=1)
 
 
+def _run_super(dev: DeviceIndex, specs: List[dict], kind: str, k1: float,
+               b: float, top_k: Optional[int], rows_dev, avgdl):
+    """Run every dense-engine spec of a batch as ONE jitted program.
+
+    The program structure is keyed by the ordered tuple of (group key, Qp,
+    Qg) — a serving workload with a stable query-shape mix compiles once
+    and then pays a single device dispatch per batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from searcharray_tpu.search import dense
+
+    skey = tuple((s["gkey"], s["Qp"], s["Qg"]) for s in specs)
+    cp = None if rows_dev is None else int(rows_dev.shape[0])
+    key = ("super", dev.corpus_size, dev.blk_bits, skey, kind, k1, b,
+           top_k, cp)
+    fn = _group_cache.get(key)
+    if fn is None:
+        def f(pool, tfpool, doc_lens, avgdl_, rows_, parts):
+            outs = []
+            for (gkey, Qp, Qg), (slots, idfs) in zip(skey, parts):
+                if gkey[0] == "dterm":
+                    o = dense.term_group_body(kind, k1, b, top_k, tfpool,
+                                              slots, doc_lens, idfs, avgdl_,
+                                              rows=rows_)
+                else:
+                    _, T, plan_key, pattern = gkey
+                    o = dense.phrase_group_body(dev, T, plan_key, pattern,
+                                                kind, k1, b, top_k, pool,
+                                                slots, doc_lens, idfs,
+                                                avgdl_, rows=rows_)
+                outs.append(o[:Qg])
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+
+        fn = jax.jit(f)
+        _group_cache[key] = fn
+    parts = tuple((s["slots"], s["idfs"]) for s in specs)
+    return fn(dev.plane_pool, dev.tf_pool, dev.doc_lens, avgdl, rows_dev,
+              parts)
+
+
 # ---------------------------------------------------------------------------
 # batch driver
 # ---------------------------------------------------------------------------
@@ -295,7 +336,7 @@ def score_batch_fused(dev: DeviceIndex,
                       kind: str = "bm25", k1: float = 1.2, b: float = 0.75,
                       top_k: Optional[int] = None,
                       rows: Optional[np.ndarray] = None,
-                      as_device: bool = False):
+                      as_device: bool = False, defer: bool = False):
     """Score a batch of resolved term-id queries in one program per group.
 
     ``queries_tids[i]`` is the list of term ids for query i (`-1` entries
@@ -312,6 +353,10 @@ def score_batch_fused(dev: DeviceIndex,
 
     Returns float32[Q, num_docs] (or [Q, len(rows)]), or with ``top_k``:
     (scores float32[Q, k], indices int64[Q, k]) — one host transfer total.
+    With ``defer`` (requires ``top_k``, no ``rows``) returns a zero-arg
+    ``collect()`` callable instead: all device work is already enqueued,
+    and collect() performs the single blocking transfer — callers can
+    submit the next batch first so transfers pipeline.
     """
     import jax.numpy as jnp
 
@@ -336,23 +381,39 @@ def score_batch_fused(dev: DeviceIndex,
 
     Npad = _npad(dev.corpus_size)
     NS = dense.plane_size(dev)
-    planes_cache: dict = {}  # per-batch dedupe of transient expansions
 
-    def _plane(tid):
-        arr = planes_cache.get(tid)
-        if arr is None:
-            arr = dense.expand_term(dev, tid)
-            planes_cache[tid] = arr
-        return arr
-
-    pending: List[Tuple[list, object]] = []  # (query indices, device out)
+    # Pool pre-fill: all of the batch's missing planes/tf vectors land in
+    # the device pools via ONE donated-buffer program per posting bucket —
+    # the batch's dispatch count no longer scales with its long tail.
+    need_planes: List[int] = []
+    need_tfs: List[int] = []
     for gkey, grows in groups.items():
         if gkey[0] == "dphrase":
-            # stacked planes are u32[Qp, T, NS]; cap at ~1 GB per program
-            max_chunk = max(1, (1 << 28) // (gkey[1] * max(1, NS)))
+            for row in grows:
+                need_planes += row[4]
         elif gkey[0] == "dterm":
-            # tf stack is f32[Qp, N]; same ~1 GB cap
-            max_chunk = max(1, (1 << 28) // max(1, dev.corpus_size))
+            for row in grows:
+                need_tfs.append(row[4][0])
+    if len(set(need_planes)) >= dense.plane_capacity(dev):
+        need_planes = []  # over-capacity: per-chunk ensure handles it
+    if len(set(need_tfs)) >= dense.tf_capacity(dev):
+        need_tfs = []
+    if need_planes or need_tfs:
+        dense.ensure_batch(dev, plane_tids=need_planes, tf_tids=need_tfs)
+
+    # pass 1: chunk every group into rectangular specs
+    specs: List[dict] = []
+    for gkey, grows in groups.items():
+        if gkey[0] == "dphrase":
+            # gathered planes are u32[Qp, T, NS]; cap at ~1 GB per program
+            # and keep each chunk's unique terms inside the plane pool
+            max_chunk = max(1, min(
+                (1 << 28) // (gkey[1] * max(1, NS)),
+                (dense.plane_capacity(dev) - 1) // gkey[1]))
+        elif gkey[0] == "dterm":
+            # gathered tf stack is f32[Qp, N]; same ~1 GB cap
+            max_chunk = max(1, min((1 << 28) // max(1, dev.corpus_size),
+                                   dense.tf_capacity(dev) - 1))
         else:
             max_chunk = max(1, _MAX_FLAT // Npad)
         for c0 in range(0, len(grows), max_chunk):
@@ -362,60 +423,67 @@ def score_batch_fused(dev: DeviceIndex,
             idfs = np.zeros(Qp, np.float32)
             for r, (qi, o, n, idf, _tids) in enumerate(chunk):
                 idfs[r] = idf
+            spec = {"gkey": gkey, "chunk": chunk, "Qg": Qg, "Qp": Qp,
+                    "idfs": idfs}
             if gkey[0] == "dterm":
-                import jax.numpy as jnp
-
-                tfs = [dense.term_tf(dev, row[4][0]) for row in chunk]
-                tfs += [tfs[0]] * (Qp - Qg)  # pad rows reuse row 0 (idf 0)
-                if rows_dev is None:
-                    fn = dense.term_group_fn(dev, kind, k1, b, top_k)
-                    out = fn(jnp.stack(tfs), dev.doc_lens, idfs, avgdl)
-                else:
-                    # subset path returns dense over rows; top-k (if any)
-                    # is applied host-side after unpadding the columns
-                    fn = dense.term_group_subset_fn(dev, kind, k1, b, None)
-                    out = fn(jnp.stack(tfs), rows_dev, dev.doc_lens, idfs,
-                             avgdl)
+                tids = [row[4][0] for row in chunk]
+                dense.ensure_tfs(dev, tids, pin=tids)
+                slots = np.empty(Qp, np.int32)
+                slots[:Qg] = dense.tf_slots_of(dev, tids)
+                slots[Qg:] = slots[0]  # pad rows reuse row 0 (idf 0)
+                spec["slots"] = slots
             elif gkey[0] == "dphrase":
-                import jax.numpy as jnp
-
-                _, T, plan_key, pattern = gkey
-                flat = []
-                for row in chunk:
-                    flat += [_plane(t) for t in row[4]]
-                flat += flat[:T] * (Qp - Qg)
-                dstack = jnp.stack(flat).reshape(Qp, T, NS)
-                if rows_dev is None:
-                    fn = dense.phrase_group_fn(dev, T, plan_key, pattern,
-                                               kind, k1, b, top_k)
-                    out = fn(dstack, dev.doc_lens, idfs, avgdl)
-                else:
-                    fn = dense.phrase_group_subset_fn(
-                        dev, T, plan_key, pattern, kind, k1, b, None)
-                    out = fn(dstack, rows_dev, dev.doc_lens, idfs, avgdl)
-            elif gkey[0] == "term":
-                bucket = gkey[1]
-                offs = np.zeros(Qp, np.int32)
-                ns = np.zeros(Qp, np.int32)
-                for r, (qi, o, n, idf, _tids) in enumerate(chunk):
-                    offs[r], ns[r] = o[0], n[0]
-                wpb = _term_wpb(dev, chunk)
-                fn = _term_group_fn(dev, Qp, bucket, wpb, kind, k1, b, top_k)
-                out = fn(dev.hdrs, dev.pays, dev.doc_lens, avgdl,
-                         offs, ns, idfs)
+                T = gkey[1]
+                tids = [t for row in chunk for t in row[4]]
+                dense.ensure_planes(dev, tids, pin=tids)
+                slots = np.empty((Qp, T), np.int32)
+                slots[:Qg] = dense.plane_slots_of(dev, tids).reshape(Qg, T)
+                slots[Qg:] = slots[0]
+                spec["slots"] = slots
             else:
-                _, T, bucket, plan_key, pattern = gkey
+                T = 1 if gkey[0] == "term" else gkey[1]
                 offs = np.zeros((Qp, T), np.int32)
                 ns = np.zeros((Qp, T), np.int32)
                 for r, (qi, o, n, idf, _tids) in enumerate(chunk):
                     offs[r], ns[r] = o, n
-                fn = _phrase_group_fn(dev, Qp, T, bucket, plan_key, pattern,
-                                      kind, k1, b, top_k)
-                out = fn(dev.hdrs, dev.pays, dev.doc_lens, avgdl, offs, ns,
-                         idfs)
-            pending.append(([qi for qi, *_ in chunk],
-                            out[:Qg, :n_out] if rows is not None
-                            else out[:Qg]))
+                spec["offs"], spec["ns"] = offs, ns
+                if gkey[0] == "term":
+                    spec["wpb"] = _term_wpb(dev, chunk)
+            specs.append(spec)
+
+    pending: List[Tuple[list, object]] = []  # (query indices, device out)
+    fused = [s for s in specs if s["gkey"][0] in ("dterm", "dphrase")]
+    # canonical spec order: the super program is keyed by the spec-shape
+    # tuple, so group arrival order must not mint new programs
+    fused.sort(key=lambda s: repr((s["gkey"], s["Qp"], s["Qg"])))
+    if fused:
+        # ONE program runs every dense-engine group of the batch — on the
+        # tunneled TPU each extra dispatch costs ~9 ms of enqueue, an order
+        # of magnitude above the groups' actual compute
+        out = _run_super(dev, fused, kind, k1, b,
+                         None if rows is not None else top_k, rows_dev,
+                         avgdl)
+        qis = [qi for s in fused for qi, *_ in s["chunk"]]
+        pending.append((qis, out[:, :n_out] if rows is not None else out))
+    for spec in specs:
+        gkey, chunk = spec["gkey"], spec["chunk"]
+        Qg, Qp, idfs = spec["Qg"], spec["Qp"], spec["idfs"]
+        if gkey[0] in ("dterm", "dphrase"):
+            continue
+        if gkey[0] == "term":
+            fn = _term_group_fn(dev, Qp, gkey[1], spec["wpb"], kind, k1, b,
+                                top_k)
+            out = fn(dev.hdrs, dev.pays, dev.doc_lens, avgdl,
+                     spec["offs"][:, 0], spec["ns"][:, 0], idfs)
+        else:
+            _, T, bucket, plan_key, pattern = gkey
+            fn = _phrase_group_fn(dev, Qp, T, bucket, plan_key, pattern,
+                                  kind, k1, b, top_k)
+            out = fn(dev.hdrs, dev.pays, dev.doc_lens, avgdl, spec["offs"],
+                     spec["ns"], idfs)
+        pending.append(([qi for qi, *_ in chunk],
+                        out[:Qg, :n_out] if rows is not None
+                        else out[:Qg]))
 
     if as_device:
         assert top_k is None, "as_device and top_k are exclusive"
@@ -430,19 +498,30 @@ def score_batch_fused(dev: DeviceIndex,
 
     if top_k is not None and rows is None:
         k = top_k
-        scores = np.zeros((Q, k), np.float32)
-        idx = np.tile(np.arange(k, dtype=np.int64), (Q, 1))
+        packed_dev = None
         if pending:
             packed_dev = (pending[0][1] if len(pending) == 1 else
                           jnp.concatenate([out for _, out in pending]))
-            packed = np.asarray(packed_dev)  # the ONE host transfer
-            row = 0
-            for qis, out in pending:
-                for qi in qis:
-                    scores[qi] = packed[row, :k].copy().view(np.float32)
-                    idx[qi] = packed[row, k:]
-                    row += 1
-        return scores, idx
+
+        def collect():
+            scores = np.zeros((Q, k), np.float32)
+            idx = np.tile(np.arange(k, dtype=np.int64), (Q, 1))
+            if packed_dev is not None:
+                packed = np.asarray(packed_dev)  # the ONE host transfer
+                row = 0
+                for qis, _out in pending:
+                    for qi in qis:
+                        scores[qi] = packed[row, :k].copy().view(np.float32)
+                        idx[qi] = packed[row, k:]
+                        row += 1
+            return scores, idx
+
+        if defer:
+            # serving mode: all device work is enqueued; the caller syncs
+            # via collect() when it wants the results, so batches pipeline
+            # and the ~30 ms tunnel round trip overlaps the next batch
+            return collect
+        return collect()
 
     dense = np.zeros((Q, n_out), np.float32)
     if pending:

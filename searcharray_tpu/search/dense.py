@@ -23,17 +23,21 @@ reference's bigram_freqs at `/root/reference/searcharray/phrase/
 bigram_freqs.py:104-188`); tests/test_dense.py asserts bit-for-bit parity
 against it, and via it against the reference scenario tables.
 
-Memory policy: a term plane costs ``(N << blk_bits) * 4`` bytes.  Hot
-terms (>= CACHE_MIN_WORDS postings) are cached with LRU eviction under
-``DENSE_CACHE_BYTES``; cold terms expand transiently inside the query
-program (scatter cost proportional to their small posting size).  When a
-single plane would exceed ``DENSE_TERM_BYTES_LIMIT`` (huge corpora /
-pathological doc lengths) the engine reports ineligible and callers fall
-back to the sort-merge chain.
+Memory policy: term planes live in ONE device-resident **plane pool**
+``u32[C, NS]`` (term -> slot map on host, LRU eviction), and term tf
+vectors in a **tf pool** ``f32[Ct, N]``.  All of a batch's missing terms
+are expanded by ONE donated-buffer program per posting-size bucket (the
+pool is updated in place on device), and query kernels gather rows from
+the pools by slot index — so a whole serving batch costs a handful of
+dispatches instead of one per term (round-1 VERDICT: the tunneled
+dispatch, not compute, dominated at ~30 ms each).  When a single plane
+would exceed ``DENSE_TERM_BYTES_LIMIT`` (huge corpora / pathological doc
+lengths) the engine reports ineligible and callers fall back to the
+sort-merge chain.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -44,9 +48,12 @@ from searcharray_tpu.ops.encoding import LSB_BITS, LSB_MASK
 _TOP = LSB_BITS - 1          # bit index of "last position in block"
 _LSB32 = int(LSB_MASK)
 
-CACHE_MIN_WORDS = 1          # LRU budget (not a threshold) bounds the cache
-DENSE_CACHE_BYTES = 4 << 30  # total HBM budget for cached planes
+DENSE_CACHE_BYTES = 4 << 30  # HBM budget for the plane pool
 DENSE_TERM_BYTES_LIMIT = 1 << 29  # per-plane ceiling; beyond -> ineligible
+PLANE_POOL_MAX_SLOTS = 1024
+TF_POOL_MAX_SLOTS = 4096
+_FILL_CHUNK = 64             # max terms per pool-fill dispatch (bounds the
+                             # transient [K, NS] expansion inside the program)
 
 _jit_cache: dict = {}
 
@@ -63,46 +70,190 @@ def dense_eligible(dev: DeviceIndex) -> bool:
     return 0 < plane_size(dev) * 4 <= DENSE_TERM_BYTES_LIMIT
 
 
-def _expand_fn(dev: DeviceIndex, bucket: int):
-    """jit: CSR slice -> dense u32[N*S] payload plane (scatter-set;
-    headers are unique and sorted, PAD sorts above the plane and drops)."""
+def plane_capacity(dev: DeviceIndex) -> int:
+    per = plane_size(dev) * 4
+    return int(min(PLANE_POOL_MAX_SLOTS, max(16, DENSE_CACHE_BYTES // per)))
+
+
+def tf_capacity(dev: DeviceIndex) -> int:
+    per = max(1, dev.corpus_size * 4)
+    return int(min(TF_POOL_MAX_SLOTS,
+                   max(64, (DENSE_CACHE_BYTES // 8) // per)))
+
+
+def _kpad(k: int) -> int:
+    """Power-of-two fill-row counts.  The merged fill program is keyed by
+    the whole set of sub-fill shapes, so per-shape variants must be very
+    coarse or every batch compiles a fresh program."""
+    p = 8
+    while p < k:
+        p <<= 1
+    return p
+
+
+def _init_pools(dev: DeviceIndex) -> None:
+    import jax.numpy as jnp
+
+    if dev.plane_pool is None:
+        C = plane_capacity(dev)
+        dev.plane_pool = jnp.zeros((C, plane_size(dev)), jnp.uint32)
+        dev.plane_free = list(range(C - 1, -1, -1))
+    if dev.tf_pool is None:
+        Ct = tf_capacity(dev)
+        dev.tf_pool = jnp.zeros((Ct, dev.corpus_size), jnp.float32)
+        dev.tf_free = list(range(Ct - 1, -1, -1))
+
+
+def _alloc_slots(slot_map, free: list, pin: set, tids: Sequence[int]):
+    """Assign pool slots to the missing ``tids`` (LRU eviction, never
+    evicting ``pin``); returns the list of (tid, slot) newly assigned."""
+    new = []
+    for t in dict.fromkeys(tids):
+        if t in slot_map:
+            slot_map.move_to_end(t)
+            continue
+        if free:
+            s = free.pop()
+        else:
+            s = None
+            for old in slot_map:
+                if old not in pin:
+                    s = slot_map.pop(old)
+                    break
+            if s is None:
+                raise RuntimeError(
+                    "dense pool exhausted by pinned terms; shrink the batch")
+        slot_map[t] = s
+        new.append((t, s))
+    return new
+
+
+def _fill_fn(dev: DeviceIndex, skey: tuple, cap_p: int, cap_t: int):
+    """jit (both pools donated): one program applying every sub-fill of a
+    batch — expanded term planes into the plane pool and tf vectors into
+    the tf pool, across all posting-size buckets.  ``skey`` is the ordered
+    tuple of ("p"|"t", Kp, bucket) sub-fill shapes.  Padding rows carry
+    slot == capacity and are dropped by the scatter."""
     import jax
 
-    key = ("expand", dev.corpus_size, dev.blk_bits, bucket)
+    key = ("fill", dev.corpus_size, dev.blk_bits, skey, cap_p, cap_t)
     fn = _jit_cache.get(key)
     if fn is None:
         NS = plane_size(dev)
+        N = dev.corpus_size
+        S = plane_slots(dev)
         blk_bits = dev.blk_bits
 
-        def f(hdrs, pays, off, n):
-            import jax.numpy as jnp
+        def expand_row(bucket):
+            def row(hdrs, pays, off, n):
+                import jax.numpy as jnp
 
-            h, p = K.take_term_planes(hdrs, pays, off, n, bucket=bucket,
-                                      blk_bits=blk_bits)
-            return jnp.zeros(NS, jnp.uint32).at[h].set(
-                p, mode="drop", unique_indices=True, indices_are_sorted=True)
+                h, p = K.take_term_planes(hdrs, pays, off, n, bucket=bucket,
+                                          blk_bits=blk_bits)
+                return jnp.zeros(NS, jnp.uint32).at[h].set(
+                    p, mode="drop", unique_indices=True,
+                    indices_are_sorted=True)
+            return row
 
-        fn = jax.jit(f)
+        def tf_row(bucket):
+            plane_row = expand_row(bucket)
+
+            def row(hdrs, pays, off, n):
+                plane = plane_row(hdrs, pays, off, n)
+                return _popcount_f32(plane).reshape(N, S).sum(-1)
+            return row
+
+        def f(pool, tfpool, hdrs, pays, parts):
+            for (which, _Kp, bucket), (offs, ns, slots) in zip(skey, parts):
+                if which == "p":
+                    planes = jax.vmap(expand_row(bucket),
+                                      in_axes=(None, None, 0, 0))(
+                        hdrs, pays, offs, ns)
+                    pool = pool.at[slots].set(planes, mode="drop")
+                else:
+                    tfs = jax.vmap(tf_row(bucket),
+                                   in_axes=(None, None, 0, 0))(
+                        hdrs, pays, offs, ns)
+                    tfpool = tfpool.at[slots].set(tfs, mode="drop")
+            return pool, tfpool
+
+        fn = jax.jit(f, donate_argnums=(0, 1))
         _jit_cache[key] = fn
     return fn
 
 
+def _subfills(dev: DeviceIndex, which: str, new, cap: int):
+    """Chunk newly assigned (tid, slot) rows into quantized sub-fill
+    specs, grouped by coarse posting bucket."""
+    by_bucket: dict = {}
+    for t, s in new:
+        off, n, _ = dev.term_span(t)
+        by_bucket.setdefault(K.expand_bucket_of(n), []).append((off, n, s))
+    out = []
+    for bucket, rows in by_bucket.items():
+        for c0 in range(0, len(rows), _FILL_CHUNK):
+            chunk = rows[c0: c0 + _FILL_CHUNK]
+            Kp = _kpad(len(chunk))
+            offs = np.zeros(Kp, np.int32)
+            ns = np.zeros(Kp, np.int32)
+            slots = np.full(Kp, cap, np.int32)  # pad rows drop
+            for r, (off, n, s) in enumerate(chunk):
+                offs[r], ns[r], slots[r] = off, n, s
+            out.append(((which, Kp, bucket), (offs, ns, slots)))
+    return out
+
+
+def ensure_batch(dev: DeviceIndex, plane_tids: Sequence[int] = (),
+                 tf_tids: Sequence[int] = (), pin_p=(), pin_t=()) -> None:
+    """Make every requested term's plane / tf vector pool-resident with a
+    single device dispatch for the whole batch (both pools, all buckets).
+
+    The TPU analog of the reference's docfreq/termfreq caches
+    (`/root/reference/searcharray/phrase/middle_out.py:322-342`), shaped
+    for a tunneled device where each dispatch costs ~9 ms."""
+    _init_pools(dev)
+    new_p = _alloc_slots(dev.plane_slot, dev.plane_free,
+                         set(pin_p) | set(plane_tids), plane_tids)
+    new_t = _alloc_slots(dev.tf_slot, dev.tf_free,
+                         set(pin_t) | set(tf_tids), tf_tids)
+    cap_p = dev.plane_pool.shape[0]
+    cap_t = dev.tf_pool.shape[0]
+    subs = (_subfills(dev, "p", new_p, cap_p)
+            + _subfills(dev, "t", new_t, cap_t))
+    if not subs:
+        return
+    subs.sort(key=lambda s: s[0])  # canonical order: program reuse
+    skey = tuple(sk for sk, _ in subs)
+    parts = tuple(arrs for _, arrs in subs)
+    fn = _fill_fn(dev, skey, cap_p, cap_t)
+    dev.plane_pool, dev.tf_pool = fn(dev.plane_pool, dev.tf_pool, dev.hdrs,
+                                     dev.pays, parts)
+
+
+def ensure_planes(dev: DeviceIndex, tids: Sequence[int], pin=()) -> None:
+    """Make every term's dense plane resident in the plane pool."""
+    ensure_batch(dev, plane_tids=tids, pin_p=pin)
+
+
+def ensure_tfs(dev: DeviceIndex, tids: Sequence[int], pin=()) -> None:
+    """Make every term's tf vector resident in the tf pool."""
+    ensure_batch(dev, tf_tids=tids, pin_t=pin)
+
+
+def plane_slots_of(dev: DeviceIndex, tids: Sequence[int]) -> np.ndarray:
+    return np.asarray([dev.plane_slot[t] for t in tids], np.int32)
+
+
+def tf_slots_of(dev: DeviceIndex, tids: Sequence[int]) -> np.ndarray:
+    return np.asarray([dev.tf_slot[t] for t in tids], np.int32)
+
+
 def expand_term(dev: DeviceIndex, term_id: int):
-    """Dense payload plane for a term; LRU-cached in HBM."""
-    cache = dev.dense_cache
-    arr = cache.get(term_id)
-    if arr is not None:
-        cache.move_to_end(term_id)
-        return arr
-    off, n, _ = dev.term_span(term_id)
-    arr = _expand_fn(dev, K.expand_bucket_of(n))(dev.hdrs, dev.pays, off, n)
-    if n >= CACHE_MIN_WORDS:
-        per = plane_size(dev) * 4
-        budget = max(per, DENSE_CACHE_BYTES)
-        while cache and (len(cache) + 1) * per > budget:
-            cache.popitem(last=False)
-        cache[term_id] = arr
-    return arr
+    """Dense payload plane for one term (a pool-row view; one slice
+    dispatch — batch paths should gather from the pool inside their own
+    programs instead)."""
+    ensure_planes(dev, [term_id])
+    return dev.plane_pool[dev.plane_slot[term_id]]
 
 
 # ---------------------------------------------------------------------------
@@ -268,7 +419,7 @@ def span_counts_dense_planes(planes, anchor_i: int, w: int, num_docs: int,
 
 def score_span_dense(dev: DeviceIndex, uniq_tids: List[int], anchor_i: int,
                      w: int, kind: str, k1: float, b: float, idf):
-    """Single-query dense slop scoring (one dispatch after expansions)."""
+    """Single-query dense slop scoring (one dispatch after the pool fill)."""
     import jax
 
     T = len(uniq_tids)
@@ -281,20 +432,18 @@ def score_span_dense(dev: DeviceIndex, uniq_tids: List[int], anchor_i: int,
         N = dev.corpus_size
         S = plane_slots(dev)
 
-        def f(doc_lens, idf_, avgdl, *planes):
-            freqs = span_counts_dense_planes(list(planes), anchor_i, w, N, S)
+        def f(doc_lens, idf_, avgdl, pool, slots):
+            planes = [pool[slots[i]] for i in range(T)]
+            freqs = span_counts_dense_planes(planes, anchor_i, w, N, S)
             return apply_similarity_device(kind, freqs, doc_lens, idf_,
                                            avgdl, k1, b)
 
         fn = jax.jit(f)
         _jit_cache[key] = fn
-    seen = {}
-    for t in uniq_tids:
-        if t not in seen:
-            seen[t] = expand_term(dev, t)
-    planes = [seen[t] for t in uniq_tids]
+    ensure_planes(dev, uniq_tids)
+    slots = plane_slots_of(dev, uniq_tids)
     avgdl = np.float32(max(dev.avg_doc_length, 1e-38))
-    return fn(dev.doc_lens, np.float32(idf), avgdl, *planes)
+    return fn(dev.doc_lens, np.float32(idf), avgdl, dev.plane_pool, slots)
 
 
 def pack_topk(dense, k: int):
@@ -312,14 +461,67 @@ def pack_topk(dense, k: int):
 # ---------------------------------------------------------------------------
 # jitted entry points (batched group + single query)
 # ---------------------------------------------------------------------------
+def phrase_group_body(dev: DeviceIndex, T: int, plan_key: tuple,
+                      pattern: tuple, kind: str, k1: float, b: float,
+                      top_k: Optional[int], pool, slots, doc_lens, idfs,
+                      avgdl, rows=None):
+    """Traced body of one phrase group: gather planes from the pool, run
+    the chain, apply similarity (optionally over a candidate-row subset),
+    optionally fuse top-k packing."""
+    import jax.numpy as jnp
+
+    from searcharray_tpu.search.scoring import apply_similarity_device
+
+    N = dev.corpus_size
+    S = plane_slots(dev)
+    plan = [(d, list(idxs)) for d, idxs in plan_key]
+    if rows is None:
+        planes = [jnp.take(pool, slots[:, i], axis=0) for i in range(T)]
+        n_docs, dl = N, doc_lens
+    else:
+        Cp = rows.shape[0]
+        flat_idx = (rows[:, None] * jnp.int32(S)
+                    + jnp.arange(S, dtype=jnp.int32)[None, :]).reshape(-1)
+        planes = [jnp.take(jnp.take(pool, slots[:, i], axis=0), flat_idx,
+                           axis=-1)
+                  for i in range(T)]  # [Qg, Cp*S] each
+        n_docs, dl = Cp, jnp.take(doc_lens, rows, axis=-1)
+    freqs = phrase_counts_dense_planes(planes, list(pattern), plan, n_docs,
+                                       S)
+    out = apply_similarity_device(kind, freqs, dl[None, :], idfs[:, None],
+                                  avgdl, k1, b)
+    if top_k is None:
+        return out
+    return pack_topk(out, top_k)
+
+
+def term_group_body(kind: str, k1: float, b: float, top_k: Optional[int],
+                    tfpool, slots, doc_lens, idfs, avgdl, rows=None):
+    """Traced body of one term group: gather tf rows + similarity."""
+    import jax.numpy as jnp
+
+    from searcharray_tpu.search.scoring import apply_similarity_device
+
+    tfstack = jnp.take(tfpool, slots, axis=0)
+    dl = doc_lens
+    if rows is not None:
+        tfstack = jnp.take(tfstack, rows, axis=-1)
+        dl = jnp.take(doc_lens, rows, axis=-1)
+    out = apply_similarity_device(kind, tfstack, dl[None, :], idfs[:, None],
+                                  avgdl, k1, b)
+    if top_k is None:
+        return out
+    return pack_topk(out, top_k)
+
+
 def phrase_group_fn(dev: DeviceIndex, T: int, plan_key: tuple,
                     pattern: tuple, kind: str, k1: float, b: float,
                     top_k: Optional[int]):
-    """jit: (dstack u32[Qg, T, NS], doc_lens, idfs[Qg]) -> scores.
-
-    No vmap needed: every chain op broadcasts over the leading query axis.
-    Qg is not part of the cache key — XLA recompiles per Qg shape, but the
-    program is shape-generic and tiny to build."""
+    """jit: (pool u32[C, NS], slots int32[Qg, T], doc_lens, idfs[Qg]) ->
+    scores.  Planes are gathered from the pool inside the program; every
+    chain op broadcasts over the leading query axis.  Qg is not part of
+    the cache key — XLA recompiles per Qg shape, but the program is
+    shape-generic and tiny to build."""
     import jax
 
     key = ("dphrase", dev.corpus_size, dev.blk_bits, T, plan_key, pattern,
@@ -328,83 +530,46 @@ def phrase_group_fn(dev: DeviceIndex, T: int, plan_key: tuple,
     if fn is not None:
         return fn
 
-    from searcharray_tpu.search.scoring import apply_similarity_device
-
-    N = dev.corpus_size
-    S = plane_slots(dev)
-    plan = [(d, list(idxs)) for d, idxs in plan_key]
-
-    def f(dstack, doc_lens, idfs, avgdl):
-        planes = [dstack[:, i] for i in range(T)]
-        freqs = phrase_counts_dense_planes(planes, list(pattern), plan, N, S)
-        out = apply_similarity_device(kind, freqs, doc_lens[None, :],
-                                      idfs[:, None], avgdl, k1, b)
-        if top_k is None:
-            return out
-        return pack_topk(out, top_k)
+    def f(pool, slots, doc_lens, idfs, avgdl):
+        return phrase_group_body(dev, T, plan_key, pattern, kind, k1, b,
+                                 top_k, pool, slots, doc_lens, idfs, avgdl)
 
     fn = jax.jit(f)
     _jit_cache[key] = fn
     return fn
 
 
-TF_CACHE_MIN_WORDS = 1       # LRU budget (not a threshold) bounds the cache
-
-
-def _tf_from_plane_fn(dev: DeviceIndex):
-    """jit: dense plane u32[NS] -> tf f32[N] (popcount + slot sum).
-
-    Shape depends only on the corpus, never on the term — arbitrary
-    long-tail terms share ONE compiled program."""
-    import jax
-
-    key = ("tfplane", dev.corpus_size, dev.blk_bits)
-    fn = _jit_cache.get(key)
-    if fn is None:
-        N = dev.corpus_size
-        S = plane_slots(dev)
-
-        def f(plane):
-            return _popcount_f32(plane).reshape(N, S).sum(-1)
-
-        fn = jax.jit(f)
-        _jit_cache[key] = fn
-    return fn
-
-
 def term_tf(dev: DeviceIndex, term_id: int):
-    """Dense float32[N] term-frequency vector, LRU-cached per term.
+    """Dense float32[N] term-frequency vector (a tf-pool row view).
 
     The TPU analog of the reference's ``termfreq_cache``
     (`/root/reference/searcharray/phrase/middle_out.py:322-328`): tf is
     immutable for an index, costs N*4 bytes, and turns repeat scoring of a
     hot term into pure elementwise similarity + top-k."""
-    cache = dev.tf_cache
-    arr = cache.get(term_id)
-    if arr is not None:
-        cache.move_to_end(term_id)
-        return arr
-    off, n, _ = dev.term_span(term_id)
     if dense_eligible(dev):
-        arr = _tf_from_plane_fn(dev)(expand_term(dev, term_id))
-    else:
-        from searcharray_tpu.search import scoring
+        ensure_tfs(dev, [term_id])
+        return dev.tf_pool[dev.tf_slot[term_id]]
+    from searcharray_tpu.search import scoring
 
+    cache = dev.tf_cache  # dict fallback for pool-ineligible corpora
+    arr = cache.get(term_id)
+    if arr is None:
         arr = scoring.score_term_dense(dev, term_id, kind="none")
-    if n >= TF_CACHE_MIN_WORDS:
         per = dev.corpus_size * 4
         budget = max(per, DENSE_CACHE_BYTES // 8)
         while cache and (len(cache) + 1) * per > budget:
             cache.popitem(last=False)
         cache[term_id] = arr
+    else:
+        cache.move_to_end(term_id)
     return arr
 
 
 def phrase_group_subset_fn(dev: DeviceIndex, T: int, plan_key: tuple,
                            pattern: tuple, kind: str, k1: float, b: float,
                            top_k: Optional[int]):
-    """jit: (dstack u32[Qg, T, NS], rows int32[Cp], doc_lens_sub f32[Cp],
-    idfs[Qg], avgdl) -> scores over the candidate rows only.
+    """jit: (pool, slots int32[Qg, T], rows int32[Cp], doc_lens, idfs[Qg],
+    avgdl) -> scores over the candidate rows only.
 
     The candidate-pruned phrase phase (reference intent at
     `/root/reference/searcharray/solr.py:328-338`): planes are gathered at
@@ -418,27 +583,10 @@ def phrase_group_subset_fn(dev: DeviceIndex, T: int, plan_key: tuple,
     if fn is not None:
         return fn
 
-    from searcharray_tpu.search.scoring import apply_similarity_device
-
-    S = plane_slots(dev)
-    plan = [(d, list(idxs)) for d, idxs in plan_key]
-
-    def f(dstack, rows, doc_lens, idfs, avgdl):
-        import jax.numpy as jnp
-
-        Cp = rows.shape[0]
-        doc_lens_sub = jnp.take(doc_lens, rows, axis=-1)
-        flat_idx = (rows[:, None] * jnp.int32(S)
-                    + jnp.arange(S, dtype=jnp.int32)[None, :]).reshape(-1)
-        planes = [jnp.take(dstack[:, i], flat_idx, axis=-1)
-                  for i in range(T)]  # [Qg, Cp*S] each
-        freqs = phrase_counts_dense_planes(planes, list(pattern), plan,
-                                           Cp, S)
-        out = apply_similarity_device(kind, freqs, doc_lens_sub[None, :],
-                                      idfs[:, None], avgdl, k1, b)
-        if top_k is None:
-            return out
-        return pack_topk(out, top_k)
+    def f(pool, slots, rows, doc_lens, idfs, avgdl):
+        return phrase_group_body(dev, T, plan_key, pattern, kind, k1, b,
+                                 top_k, pool, slots, doc_lens, idfs, avgdl,
+                                 rows=rows)
 
     fn = jax.jit(f)
     _jit_cache[key] = fn
@@ -447,8 +595,8 @@ def phrase_group_subset_fn(dev: DeviceIndex, T: int, plan_key: tuple,
 
 def term_group_subset_fn(dev: DeviceIndex, kind: str, k1: float, b: float,
                          top_k: Optional[int]):
-    """jit: (tfstack f32[Qg, N], rows int32[Cp], doc_lens_sub, idfs) ->
-    scores over candidate rows (gather + similarity)."""
+    """jit: (tfpool f32[Ct, N], slots int32[Qg], rows int32[Cp], doc_lens,
+    idfs) -> scores over candidate rows (gather + similarity)."""
     import jax
 
     key = ("dterm_sub", dev.corpus_size, kind, k1, b, top_k)
@@ -456,18 +604,9 @@ def term_group_subset_fn(dev: DeviceIndex, kind: str, k1: float, b: float,
     if fn is not None:
         return fn
 
-    from searcharray_tpu.search.scoring import apply_similarity_device
-
-    def f(tfstack, rows, doc_lens, idfs, avgdl):
-        import jax.numpy as jnp
-
-        sub = jnp.take(tfstack, rows, axis=-1)
-        doc_lens_sub = jnp.take(doc_lens, rows, axis=-1)
-        out = apply_similarity_device(kind, sub, doc_lens_sub[None, :],
-                                      idfs[:, None], avgdl, k1, b)
-        if top_k is None:
-            return out
-        return pack_topk(out, top_k)
+    def f(tfpool, slots, rows, doc_lens, idfs, avgdl):
+        return term_group_body(kind, k1, b, top_k, tfpool, slots, doc_lens,
+                               idfs, avgdl, rows=rows)
 
     fn = jax.jit(f)
     _jit_cache[key] = fn
@@ -476,10 +615,9 @@ def term_group_subset_fn(dev: DeviceIndex, kind: str, k1: float, b: float,
 
 def term_group_fn(dev: DeviceIndex, kind: str, k1: float, b: float,
                   top_k: Optional[int]):
-    """jit: (tfstack f32[Qg, N], doc_lens, idfs[Qg]) -> scores.
-
-    With cached tf vectors a term query is one elementwise similarity pass
-    (plus fused top-k)."""
+    """jit: (tfpool f32[Ct, N], slots int32[Qg], doc_lens, idfs[Qg]) ->
+    scores.  With pooled tf vectors a term query is one gather +
+    elementwise similarity pass (plus fused top-k)."""
     import jax
 
     key = ("dterm", dev.corpus_size, kind, k1, b, top_k)
@@ -487,14 +625,9 @@ def term_group_fn(dev: DeviceIndex, kind: str, k1: float, b: float,
     if fn is not None:
         return fn
 
-    from searcharray_tpu.search.scoring import apply_similarity_device
-
-    def f(tfstack, doc_lens, idfs, avgdl):
-        out = apply_similarity_device(kind, tfstack, doc_lens[None, :],
-                                      idfs[:, None], avgdl, k1, b)
-        if top_k is None:
-            return out
-        return pack_topk(out, top_k)
+    def f(tfpool, slots, doc_lens, idfs, avgdl):
+        return term_group_body(kind, k1, b, top_k, tfpool, slots, doc_lens,
+                               idfs, avgdl)
 
     fn = jax.jit(f)
     _jit_cache[key] = fn
@@ -503,7 +636,8 @@ def term_group_fn(dev: DeviceIndex, kind: str, k1: float, b: float,
 
 def score_phrase_dense(dev: DeviceIndex, term_ids: List[int], plan,
                        pattern, kind: str, k1: float, b: float, idf):
-    """Single-query dense phrase scoring (one dispatch after expansions)."""
+    """Single-query dense phrase scoring (one dispatch after the pool
+    fill)."""
     import jax
 
     T = len(term_ids)
@@ -519,19 +653,16 @@ def score_phrase_dense(dev: DeviceIndex, term_ids: List[int], plan,
         plan_l = [(d, list(idxs)) for d, idxs in plan_key]
         pattern_l = list(pattern)
 
-        def f(doc_lens, idf_, avgdl, *planes):
+        def f(doc_lens, idf_, avgdl, pool, slots):
+            planes = [pool[slots[i]] for i in range(T)]
             return apply_similarity_device(
                 kind,
-                phrase_counts_dense_planes(list(planes), pattern_l, plan_l,
-                                           N, S),
+                phrase_counts_dense_planes(planes, pattern_l, plan_l, N, S),
                 doc_lens, idf_, avgdl, k1, b)
 
         fn = jax.jit(f)
         _jit_cache[key] = fn
-    uniq = {}
-    for t in term_ids:
-        if t not in uniq:
-            uniq[t] = expand_term(dev, t)
-    planes = [uniq[t] for t in term_ids]
+    ensure_planes(dev, term_ids)
+    slots = plane_slots_of(dev, term_ids)
     avgdl = np.float32(max(dev.avg_doc_length, 1e-38))
-    return fn(dev.doc_lens, np.float32(idf), avgdl, *planes)
+    return fn(dev.doc_lens, np.float32(idf), avgdl, dev.plane_pool, slots)

@@ -194,26 +194,40 @@ def score_term_dense(index: DeviceIndex, term_id: int, kind: str = "bm25",
     windowed = min_posn is not None or max_posn is not None
     avgdl = np.float32(max(index.avg_doc_length, 1e-38))
     if kind != "none" and not windowed:
-        # hot-term fast path: cached dense tf vector (dense.term_tf) makes
-        # repeat scoring pure elementwise similarity
+        # hot-term fast path: pooled dense tf vector (dense.ensure_tfs)
+        # makes repeat scoring one gather + elementwise similarity dispatch
         from searcharray_tpu.search import dense as dense_mod
 
-        tf = index.tf_cache.get(term_id)
-        if tf is None and n >= dense_mod.TF_CACHE_MIN_WORDS:
-            # term_tf recurses into this function with kind="none" (which
-            # skips this block), then caches the tf vector
-            tf = dense_mod.term_tf(index, term_id)
-        elif tf is not None:
-            index.tf_cache.move_to_end(term_id)
-        if tf is not None:
-            fn = _kernel_cache.get(("simtf", index.corpus_size, kind, k1, b))
+        if dense_mod.dense_eligible(index):
+            dense_mod.ensure_tfs(index, [term_id])
+            slot = np.int32(index.tf_slot[term_id])
+            key = ("simtf", index.corpus_size, kind, k1, b)
+            fn = _kernel_cache.get(key)
             if fn is None:
                 import jax
 
-                fn = jax.jit(partial(apply_similarity_device, kind, k1=k1,
-                                     b=b))
-                _kernel_cache[("simtf", index.corpus_size, kind, k1, b)] = fn
-            return fn(tf, index.doc_lens, np.float32(idf), avgdl)
+                def f(tfpool, slot_, doc_lens, idf_, avgdl_):
+                    return apply_similarity_device(
+                        kind, tfpool[slot_], doc_lens, idf_, avgdl_, k1, b)
+
+                fn = jax.jit(f)
+                _kernel_cache[key] = fn
+            return fn(index.tf_pool, slot, index.doc_lens, np.float32(idf),
+                      avgdl)
+        tf = index.tf_cache.get(term_id)
+        if tf is None:
+            # term_tf recurses into this function with kind="none" (which
+            # skips this block), then caches the tf vector
+            tf = dense_mod.term_tf(index, term_id)
+        else:
+            index.tf_cache.move_to_end(term_id)
+        fn = _kernel_cache.get(("simtf0", index.corpus_size, kind, k1, b))
+        if fn is None:
+            import jax
+
+            fn = jax.jit(partial(apply_similarity_device, kind, k1=k1, b=b))
+            _kernel_cache[("simtf0", index.corpus_size, kind, k1, b)] = fn
+        return fn(tf, index.doc_lens, np.float32(idf), avgdl)
     if kind in ("none", "bm25", "bm25_legacy", "bm25_impact") and _use_pallas(
         n, windowed
     ):
