@@ -284,10 +284,14 @@ class SearchArray(ExtensionArray):
         return arr
 
     def warm(self):
-        """Pre-compile the fused scoring kernel for every posting-bucket size
-        of common terms (the analog of the reference's df/tf cache warm,
-        middle_out.py:337-342 — our dfs are precomputed, the cost to hide
-        here is XLA compilation)."""
+        """Warm the index for serving (the analog of the reference's df/tf
+        cache warm, middle_out.py:337-342 — our dfs are precomputed).
+
+        Two costs are hidden here: XLA compilation of the fused scoring
+        kernel per posting-bucket size, and the dense engine's pools —
+        the hottest terms' tf vectors and payload planes are prefilled
+        with one batched device program, so the first queries against
+        frequent terms skip their pool fills."""
         from searcharray_tpu.ops.kernels import bucket_of
 
         lengths = self._built.postings.lengths
@@ -298,6 +302,17 @@ class SearchArray(ExtensionArray):
             if bkt not in seen:
                 seen.add(bkt)
                 scoring.score_term_dense(self.dev, int(tid))
+        from searcharray_tpu.search import dense as dense_mod
+
+        if dense_mod.dense_eligible(self.dev) and len(common):
+            hot = common[np.argsort(-lengths[common], kind="stable")]
+            tf_hot = [int(t) for t in hot[: dense_mod.tf_capacity(self.dev)
+                                          - 8]]
+            plane_hot = [int(t)
+                         for t in hot[: dense_mod.plane_capacity(self.dev)
+                                      // 2]]
+            dense_mod.ensure_batch(self.dev, plane_tids=plane_hot,
+                                   tf_tids=tf_hot)
 
     @classmethod
     def _from_sequence(cls, scalars, *, dtype=None, copy=False):

@@ -53,6 +53,10 @@ _DOC_BLOCK = 1024  # segment_sum_pallas doc-block; Npad is a multiple of it
 # space (Qchunk * Npad) must stay below 2**29 per program
 _MAX_FLAT = 1 << 29
 
+# max bytes of pool rows one fused wave program may gather; larger waves
+# run one program per spec so XLA cannot overlap the bodies' temporaries
+_SUPER_FUSE_BYTES = 1 << 30
+
 
 def _qpad(q: int) -> int:
     """Pad a group's query count to bound compile variants.
@@ -244,7 +248,10 @@ def _run_super(dev: DeviceIndex, specs: List[dict], kind: str, k1: float,
 
     from searcharray_tpu.search import dense
 
-    skey = tuple((s["gkey"], s["Qp"], s["Qg"]) for s in specs)
+    # pad rows stay in the output (the host drops them): keying on Qp only
+    # means a serving mix whose group sizes fluctuate inside one padded
+    # bucket reuses one compiled program
+    skey = tuple((s["gkey"], s["Qp"]) for s in specs)
     cp = None if rows_dev is None else int(rows_dev.shape[0])
     key = ("super", dev.corpus_size, dev.blk_bits, skey, kind, k1, b,
            top_k, cp)
@@ -252,7 +259,7 @@ def _run_super(dev: DeviceIndex, specs: List[dict], kind: str, k1: float,
     if fn is None:
         def f(pool, tfpool, doc_lens, avgdl_, rows_, parts):
             outs = []
-            for (gkey, Qp, Qg), (slots, idfs) in zip(skey, parts):
+            for (gkey, _Qp), (slots, idfs) in zip(skey, parts):
                 if gkey[0] == "dterm":
                     o = dense.term_group_body(kind, k1, b, top_k, tfpool,
                                               slots, doc_lens, idfs, avgdl_,
@@ -263,7 +270,7 @@ def _run_super(dev: DeviceIndex, specs: List[dict], kind: str, k1: float,
                                                 kind, k1, b, top_k, pool,
                                                 slots, doc_lens, idfs,
                                                 avgdl_, rows=rows_)
-                outs.append(o[:Qg])
+                outs.append(o)
             return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
 
         fn = jax.jit(f)
@@ -381,27 +388,12 @@ def score_batch_fused(dev: DeviceIndex,
 
     Npad = _npad(dev.corpus_size)
     NS = dense.plane_size(dev)
+    cap_p = dense.plane_capacity(dev)
+    cap_t = dense.tf_capacity(dev)
 
-    # Pool pre-fill: all of the batch's missing planes/tf vectors land in
-    # the device pools via ONE donated-buffer program per posting bucket —
-    # the batch's dispatch count no longer scales with its long tail.
-    need_planes: List[int] = []
-    need_tfs: List[int] = []
-    for gkey, grows in groups.items():
-        if gkey[0] == "dphrase":
-            for row in grows:
-                need_planes += row[4]
-        elif gkey[0] == "dterm":
-            for row in grows:
-                need_tfs.append(row[4][0])
-    if len(set(need_planes)) >= dense.plane_capacity(dev):
-        need_planes = []  # over-capacity: per-chunk ensure handles it
-    if len(set(need_tfs)) >= dense.tf_capacity(dev):
-        need_tfs = []
-    if need_planes or need_tfs:
-        dense.ensure_batch(dev, plane_tids=need_planes, tf_tids=need_tfs)
-
-    # pass 1: chunk every group into rectangular specs
+    # pass 1: chunk every group into rectangular specs (slot assignment is
+    # deferred — it must happen immediately before the program that reads
+    # the slots, or a later fill could evict an earlier spec's rows)
     specs: List[dict] = []
     for gkey, grows in groups.items():
         if gkey[0] == "dphrase":
@@ -409,11 +401,11 @@ def score_batch_fused(dev: DeviceIndex,
             # and keep each chunk's unique terms inside the plane pool
             max_chunk = max(1, min(
                 (1 << 28) // (gkey[1] * max(1, NS)),
-                (dense.plane_capacity(dev) - 1) // gkey[1]))
+                (cap_p - 1) // gkey[1]))
         elif gkey[0] == "dterm":
             # gathered tf stack is f32[Qp, N]; same ~1 GB cap
             max_chunk = max(1, min((1 << 28) // max(1, dev.corpus_size),
-                                   dense.tf_capacity(dev) - 1))
+                                   cap_t - 1))
         else:
             max_chunk = max(1, _MAX_FLAT // Npad)
         for c0 in range(0, len(grows), max_chunk):
@@ -426,20 +418,9 @@ def score_batch_fused(dev: DeviceIndex,
             spec = {"gkey": gkey, "chunk": chunk, "Qg": Qg, "Qp": Qp,
                     "idfs": idfs}
             if gkey[0] == "dterm":
-                tids = [row[4][0] for row in chunk]
-                dense.ensure_tfs(dev, tids, pin=tids)
-                slots = np.empty(Qp, np.int32)
-                slots[:Qg] = dense.tf_slots_of(dev, tids)
-                slots[Qg:] = slots[0]  # pad rows reuse row 0 (idf 0)
-                spec["slots"] = slots
+                spec["tf_tids"] = [row[4][0] for row in chunk]
             elif gkey[0] == "dphrase":
-                T = gkey[1]
-                tids = [t for row in chunk for t in row[4]]
-                dense.ensure_planes(dev, tids, pin=tids)
-                slots = np.empty((Qp, T), np.int32)
-                slots[:Qg] = dense.plane_slots_of(dev, tids).reshape(Qg, T)
-                slots[Qg:] = slots[0]
-                spec["slots"] = slots
+                spec["plane_tids"] = [t for row in chunk for t in row[4]]
             else:
                 T = 1 if gkey[0] == "term" else gkey[1]
                 offs = np.zeros((Qp, T), np.int32)
@@ -455,16 +436,68 @@ def score_batch_fused(dev: DeviceIndex,
     fused = [s for s in specs if s["gkey"][0] in ("dterm", "dphrase")]
     # canonical spec order: the super program is keyed by the spec-shape
     # tuple, so group arrival order must not mint new programs
-    fused.sort(key=lambda s: repr((s["gkey"], s["Qp"], s["Qg"])))
-    if fused:
-        # ONE program runs every dense-engine group of the batch — on the
-        # tunneled TPU each extra dispatch costs ~9 ms of enqueue, an order
-        # of magnitude above the groups' actual compute
-        out = _run_super(dev, fused, kind, k1, b,
-                         None if rows is not None else top_k, rows_dev,
-                         avgdl)
-        qis = [qi for s in fused for qi, *_ in s["chunk"]]
-        pending.append((qis, out[:, :n_out] if rows is not None else out))
+    fused.sort(key=lambda s: repr((s["gkey"], s["Qp"])))
+    # partition into waves whose combined unique terms fit the pools: a
+    # wave's slots are pinned through ONE fill + ONE super program, so no
+    # fill can evict rows a pending program still reads
+    waves: List[List[dict]] = []
+    cur: List[dict] = []
+    cur_p: set = set()
+    cur_t: set = set()
+    for s in fused:
+        p_t = set(s.get("plane_tids", ()))
+        t_t = set(s.get("tf_tids", ()))
+        if cur and (len(cur_p | p_t) > cap_p - 1
+                    or len(cur_t | t_t) > cap_t - 1):
+            waves.append(cur)
+            cur, cur_p, cur_t = [], set(), set()
+        cur.append(s)
+        cur_p |= p_t
+        cur_t |= t_t
+    if cur:
+        waves.append(cur)
+    for wave in waves:
+        # ONE fill + ONE scoring program per wave — on the tunneled TPU
+        # each extra dispatch costs ~9 ms of enqueue, an order of
+        # magnitude above the groups' actual compute
+        plane_tids = [t for s in wave for t in s.get("plane_tids", ())]
+        tf_tids = [t for s in wave for t in s.get("tf_tids", ())]
+        dense.ensure_batch(dev, plane_tids=plane_tids, tf_tids=tf_tids,
+                           pin_p=plane_tids, pin_t=tf_tids)
+        gather_bytes = 0
+        for s in wave:
+            Qg, Qp = s["Qg"], s["Qp"]
+            if s["gkey"][0] == "dterm":
+                slots = np.empty(Qp, np.int32)
+                slots[:Qg] = dense.tf_slots_of(dev, s["tf_tids"])
+                slots[Qg:] = slots[0]  # pad rows reuse row 0 (idf 0)
+                gather_bytes += Qp * dev.corpus_size * 4
+            else:
+                T = s["gkey"][1]
+                slots = np.empty((Qp, T), np.int32)
+                slots[:Qg] = dense.plane_slots_of(
+                    dev, s["plane_tids"]).reshape(Qg, T)
+                slots[Qg:] = slots[0]
+                gather_bytes += Qp * T * NS * 4
+            s["slots"] = slots
+        wave_k = None if rows is not None else top_k
+        if gather_bytes <= _SUPER_FUSE_BYTES:
+            outs = [(_run_super(dev, wave, kind, k1, b, wave_k, rows_dev,
+                                avgdl), wave)]
+        else:
+            # huge-corpus waves: fused bodies are independent, so XLA may
+            # overlap their multi-GB temporaries and blow HBM — run one
+            # program per spec instead (stream order keeps one body's
+            # temps live at a time)
+            outs = [(_run_super(dev, [s], kind, k1, b, wave_k, rows_dev,
+                                avgdl), [s]) for s in wave]
+        for out, specs_run in outs:
+            qis: List[Optional[int]] = []  # None rows are group padding
+            for s in specs_run:
+                qis += [qi for qi, *_ in s["chunk"]]
+                qis += [None] * (s["Qp"] - s["Qg"])
+            pending.append((qis, out[:, :n_out] if rows is not None
+                            else out))
     for spec in specs:
         gkey, chunk = spec["gkey"], spec["chunk"]
         Qg, Qp, idfs = spec["Qg"], spec["Qp"], spec["idfs"]
@@ -491,9 +524,13 @@ def score_batch_fused(dev: DeviceIndex,
         if pending:
             stacked = (pending[0][1] if len(pending) == 1 else
                        jnp.concatenate([o for _, o in pending]))
-            qidx = np.asarray([qi for qis, _ in pending for qi in qis],
-                              dtype=np.int32)
-            out = out.at[jnp.asarray(qidx)].set(stacked)
+            all_qis = [qi for qis, _ in pending for qi in qis]
+            keep = [r for r, qi in enumerate(all_qis) if qi is not None]
+            qidx = jnp.asarray(
+                np.asarray([all_qis[r] for r in keep], dtype=np.int32))
+            if len(keep) != len(all_qis):  # drop group-padding rows
+                stacked = stacked[jnp.asarray(np.asarray(keep, np.int32))]
+            out = out.at[qidx].set(stacked)
         return out
 
     if top_k is not None and rows is None:
@@ -511,15 +548,23 @@ def score_batch_fused(dev: DeviceIndex,
                 row = 0
                 for qis, _out in pending:
                     for qi in qis:
-                        scores[qi] = packed[row, :k].copy().view(np.float32)
-                        idx[qi] = packed[row, k:]
+                        if qi is not None:  # skip group-padding rows
+                            scores[qi] = packed[row, :k].copy().view(
+                                np.float32)
+                            idx[qi] = packed[row, k:]
                         row += 1
             return scores, idx
 
         if defer:
-            # serving mode: all device work is enqueued; the caller syncs
-            # via collect() when it wants the results, so batches pipeline
-            # and the ~30 ms tunnel round trip overlaps the next batch
+            # serving mode: all device work is enqueued and the
+            # device-to-host copy starts now; collect() finds the bytes
+            # already staged, so batches pipeline and the ~30 ms tunnel
+            # round trip overlaps the next batches' compute
+            if packed_dev is not None:
+                try:
+                    packed_dev.copy_to_host_async()
+                except Exception:
+                    pass  # backend without async staging: collect blocks
             return collect
         return collect()
 
@@ -531,7 +576,8 @@ def score_batch_fused(dev: DeviceIndex,
         row = 0
         for qis, out in pending:
             for qi in qis:
-                dense[qi] = stacked[row]
+                if qi is not None:  # skip group-padding rows
+                    dense[qi] = stacked[row]
                 row += 1
     if top_k is not None:
         idx = np.argsort(dense, axis=1)[:, ::-1][:, :top_k]

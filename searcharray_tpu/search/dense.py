@@ -48,7 +48,8 @@ from searcharray_tpu.ops.encoding import LSB_BITS, LSB_MASK
 _TOP = LSB_BITS - 1          # bit index of "last position in block"
 _LSB32 = int(LSB_MASK)
 
-DENSE_CACHE_BYTES = 4 << 30  # HBM budget for the plane pool
+PLANE_POOL_BYTES = 3 << 30   # HBM budget for the plane pool
+TF_POOL_BYTES = 768 << 20    # HBM budget for the tf pool
 DENSE_TERM_BYTES_LIMIT = 1 << 29  # per-plane ceiling; beyond -> ineligible
 PLANE_POOL_MAX_SLOTS = 1024
 TF_POOL_MAX_SLOTS = 4096
@@ -72,23 +73,18 @@ def dense_eligible(dev: DeviceIndex) -> bool:
 
 def plane_capacity(dev: DeviceIndex) -> int:
     per = plane_size(dev) * 4
-    return int(min(PLANE_POOL_MAX_SLOTS, max(16, DENSE_CACHE_BYTES // per)))
+    return int(min(PLANE_POOL_MAX_SLOTS, max(8, PLANE_POOL_BYTES // per)))
 
 
 def tf_capacity(dev: DeviceIndex) -> int:
     per = max(1, dev.corpus_size * 4)
-    return int(min(TF_POOL_MAX_SLOTS,
-                   max(64, (DENSE_CACHE_BYTES // 8) // per)))
+    return int(min(TF_POOL_MAX_SLOTS, max(16, TF_POOL_BYTES // per)))
 
 
-def _kpad(k: int) -> int:
-    """Power-of-two fill-row counts.  The merged fill program is keyed by
-    the whole set of sub-fill shapes, so per-shape variants must be very
-    coarse or every batch compiles a fresh program."""
-    p = 8
-    while p < k:
-        p <<= 1
-    return p
+# Fill programs always take _FILL_CHUNK rows with a dynamic live count
+# (pad iterations cond-skip): the merged fill program is keyed by the
+# whole set of sub-fill shapes, so any per-batch shape variation would
+# compile a fresh program per batch.
 
 
 def _init_pools(dev: DeviceIndex) -> None:
@@ -141,40 +137,54 @@ def _fill_fn(dev: DeviceIndex, skey: tuple, cap_p: int, cap_t: int):
     if fn is None:
         NS = plane_size(dev)
         N = dev.corpus_size
-        S = plane_slots(dev)
         blk_bits = dev.blk_bits
 
-        def expand_row(bucket):
-            def row(hdrs, pays, off, n):
-                import jax.numpy as jnp
-
-                h, p = K.take_term_planes(hdrs, pays, off, n, bucket=bucket,
-                                          blk_bits=blk_bits)
-                return jnp.zeros(NS, jnp.uint32).at[h].set(
-                    p, mode="drop", unique_indices=True,
-                    indices_are_sorted=True)
-            return row
-
-        def tf_row(bucket):
-            plane_row = expand_row(bucket)
-
-            def row(hdrs, pays, off, n):
-                plane = plane_row(hdrs, pays, off, n)
-                return _slot_sum(_popcount_f32(plane), S)
-            return row
-
+        # One fori_loop iteration per term, NOT a vmap over rows: only one
+        # row's temporaries are ever live, so fills stay inside HBM even
+        # when a single plane is hundreds of MB (8.8M docs).  tf rows come
+        # straight from the CSR words (popcount + scatter-add by doc key),
+        # never via a dense plane.  Iterations past the live count are
+        # cond-skipped, so the row axis is always _FILL_CHUNK wide and the
+        # program space stays (pool kind x posting bucket).
         def f(pool, tfpool, hdrs, pays, parts):
-            for (which, _Kp, bucket), (offs, ns, slots) in zip(skey, parts):
+            import jax.numpy as jnp
+
+            for (which, bucket), (offs, ns, slots, k_real) in zip(skey,
+                                                                  parts):
                 if which == "p":
-                    planes = jax.vmap(expand_row(bucket),
-                                      in_axes=(None, None, 0, 0))(
-                        hdrs, pays, offs, ns)
-                    pool = pool.at[slots].set(planes, mode="drop")
+                    def body_p(i, pl, offs=offs, ns=ns, slots=slots,
+                               bucket=bucket, k_real=k_real):
+                        def do(pl):
+                            h, p = K.take_term_planes(
+                                hdrs, pays, offs[i], ns[i], bucket=bucket,
+                                blk_bits=blk_bits)
+                            row = jnp.zeros(NS, jnp.uint32).at[h].set(
+                                p, mode="drop", unique_indices=True,
+                                indices_are_sorted=True)
+                            return jax.lax.dynamic_update_slice(
+                                pl, row[None, :], (slots[i], 0))
+
+                        return jax.lax.cond(i < k_real, do, lambda x: x, pl)
+
+                    pool = jax.lax.fori_loop(0, _FILL_CHUNK, body_p, pool)
                 else:
-                    tfs = jax.vmap(tf_row(bucket),
-                                   in_axes=(None, None, 0, 0))(
-                        hdrs, pays, offs, ns)
-                    tfpool = tfpool.at[slots].set(tfs, mode="drop")
+                    def body_t(i, tp, offs=offs, ns=ns, slots=slots,
+                               bucket=bucket, k_real=k_real):
+                        def do(tp):
+                            h, p = K.take_term_planes(
+                                hdrs, pays, offs[i], ns[i], bucket=bucket,
+                                blk_bits=blk_bits)
+                            keys = (h >> jnp.int32(blk_bits)).astype(
+                                jnp.int32)
+                            row = jnp.zeros(N, jnp.float32).at[keys].add(
+                                _popcount_f32(p), mode="drop")
+                            return jax.lax.dynamic_update_slice(
+                                tp, row[None, :], (slots[i], 0))
+
+                        return jax.lax.cond(i < k_real, do, lambda x: x, tp)
+
+                    tfpool = jax.lax.fori_loop(0, _FILL_CHUNK, body_t,
+                                               tfpool)
             return pool, tfpool
 
         fn = jax.jit(f, donate_argnums=(0, 1))
@@ -193,13 +203,13 @@ def _subfills(dev: DeviceIndex, which: str, new, cap: int):
     for bucket, rows in by_bucket.items():
         for c0 in range(0, len(rows), _FILL_CHUNK):
             chunk = rows[c0: c0 + _FILL_CHUNK]
-            Kp = _kpad(len(chunk))
-            offs = np.zeros(Kp, np.int32)
-            ns = np.zeros(Kp, np.int32)
-            slots = np.full(Kp, cap, np.int32)  # pad rows drop
+            offs = np.zeros(_FILL_CHUNK, np.int32)
+            ns = np.zeros(_FILL_CHUNK, np.int32)
+            slots = np.zeros(_FILL_CHUNK, np.int32)
             for r, (off, n, s) in enumerate(chunk):
                 offs[r], ns[r], slots[r] = off, n, s
-            out.append(((which, Kp, bucket), (offs, ns, slots)))
+            out.append(((which, bucket),
+                        (offs, ns, slots, np.int32(len(chunk)))))
     return out
 
 
@@ -567,7 +577,7 @@ def term_tf(dev: DeviceIndex, term_id: int):
     if arr is None:
         arr = scoring.score_term_dense(dev, term_id, kind="none")
         per = dev.corpus_size * 4
-        budget = max(per, DENSE_CACHE_BYTES // 8)
+        budget = max(per, TF_POOL_BYTES)
         while cache and (len(cache) + 1) * per > budget:
             cache.popitem(last=False)
         cache[term_id] = arr

@@ -129,3 +129,47 @@ def test_dense_engine_matches_sparse_engine(docs, engine, monkeypatch):
         sparse_scores = docs.score_batch(queries)
     np.testing.assert_allclose(dense_scores, sparse_scores, rtol=1e-6,
                                atol=1e-6)
+
+
+def test_warm_prefills_pools_and_scores_match(docs, engine):
+    """warm() must prefill the dense pools for hot terms without changing
+    scores (the df/tf warm analog, reference middle_out.py:337-342)."""
+    baseline = docs.score_batch(MIXED)
+    docs.warm()
+    if engine == "dense":
+        assert len(docs.dev.tf_slot) > 0
+        assert len(docs.dev.plane_slot) > 0
+        # the most frequent term must be resident
+        tid = docs.dev.vocab.get_term_id("the")
+        assert tid in docs.dev.tf_slot and tid in docs.dev.plane_slot
+    after = docs.score_batch(MIXED)
+    np.testing.assert_allclose(after, baseline, rtol=1e-6, atol=1e-6)
+
+
+def test_pool_eviction_waves(engine, monkeypatch):
+    """More unique terms per batch than the pools hold: specs must split
+    into capacity-bounded waves (fill + super per wave) so no fill evicts
+    slots a pending program reads.  Parity vs the single-query path."""
+    if engine == "sparse":
+        pytest.skip("exercises the dense pools only")
+    monkeypatch.setattr(dense_mod, "PLANE_POOL_MAX_SLOTS", 8)
+    monkeypatch.setattr(dense_mod, "TF_POOL_MAX_SLOTS", 4)
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(40)]
+    corpus = [
+        " ".join(rng.choice(vocab, size=rng.integers(6, 30)))
+        for _ in range(300)
+    ]
+    arr = SearchArray.index(corpus)
+    queries = [[f"t{2*i}", f"t{2*i+1}"] for i in range(15)]  # 30 uniq planes
+    queries += [f"t{i}" for i in range(12)]                  # 12 uniq tfs
+    got = arr.score_batch(queries)
+    assert arr.dev.plane_pool.shape[0] == 8
+    assert arr.dev.tf_pool.shape[0] == 4
+    for i, q in enumerate(queries):
+        np.testing.assert_allclose(got[i], np.asarray(arr.score(q)),
+                                   rtol=1e-6, atol=1e-6, err_msg=str(q))
+    # top-k path under the same pressure
+    scores, idx = arr.score_batch(queries, top_k=3)
+    np.testing.assert_allclose(
+        scores, np.sort(got, axis=1)[:, ::-1][:, :3], rtol=1e-6, atol=1e-6)
