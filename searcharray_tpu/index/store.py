@@ -61,6 +61,7 @@ def save_index(built: BuiltIndex, directory: str) -> None:
         dt_cols=built.doc_term.cols,
         dt_rows=built.doc_term.rows,
         doc_lens=built.doc_lens,
+        doc_freqs=built.doc_freqs,
     )
     with open(os.path.join(directory, "index.json"), "w") as f:
         json.dump(
@@ -104,4 +105,6 @@ def load_index(directory: str, mmap: bool = True) -> BuiltIndex:
         vocab=vocab,
         doc_lens=m["doc_lens"],
         avg_doc_length=meta["avg_doc_length"],
+        # absent in pre-round-2 saves: recomputed by BuiltIndex then
+        doc_freqs=m["doc_freqs"] if "doc_freqs" in m.files else None,
     )

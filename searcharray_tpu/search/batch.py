@@ -57,6 +57,9 @@ _MAX_FLAT = 1 << 29
 # run one program per spec so XLA cannot overlap the bodies' temporaries
 _SUPER_FUSE_BYTES = 1 << 30
 
+# max sliced posting words per sparse-fallback group program
+_SPARSE_CHUNK_WORDS = 1 << 26
+
 
 def _qpad(q: int) -> int:
     """Pad a group's query count to bound compile variants.
@@ -397,8 +400,8 @@ def score_batch_fused(dev: DeviceIndex,
     specs: List[dict] = []
     for gkey, grows in groups.items():
         if gkey[0] == "dphrase":
-            # gathered planes are u32[Qp, T, NS]; cap at ~1 GB per program
-            # and keep each chunk's unique terms inside the plane pool
+            # broadcast chain gathers u32[Qp, T, NS]; cap at ~1 GB per
+            # program and keep the chunk's terms inside the plane pool
             max_chunk = max(1, min(
                 (1 << 28) // (gkey[1] * max(1, NS)),
                 (cap_p - 1) // gkey[1]))
@@ -407,7 +410,13 @@ def score_batch_fused(dev: DeviceIndex,
             max_chunk = max(1, min((1 << 28) // max(1, dev.corpus_size),
                                    cap_t - 1))
         else:
-            max_chunk = max(1, _MAX_FLAT // Npad)
+            # sparse fallback: bound by the flat segment-sum key space AND
+            # by sliced posting-bucket bytes (stopword buckets at 8.8M
+            # docs are multi-million words; an unbounded Qp OOMs)
+            bucket = gkey[1] if gkey[0] == "term" else gkey[2]
+            T = 1 if gkey[0] == "term" else gkey[1]
+            max_chunk = max(1, min(_MAX_FLAT // Npad,
+                                   _SPARSE_CHUNK_WORDS // max(1, T * bucket)))
         for c0 in range(0, len(grows), max_chunk):
             chunk = grows[c0: c0 + max_chunk]
             Qg = len(chunk)

@@ -173,3 +173,22 @@ def test_pool_eviction_waves(engine, monkeypatch):
     scores, idx = arr.score_batch(queries, top_k=3)
     np.testing.assert_allclose(
         scores, np.sort(got, axis=1)[:, ::-1][:, :3], rtol=1e-6, atol=1e-6)
+
+
+def test_sparse_chunk_word_cap(engine, monkeypatch):
+    """Sparse-fallback groups must split when sliced posting words exceed
+    the per-program cap (at 8.8M docs a stopword bucket is multi-million
+    words; an unbounded Qp OOMs the chip)."""
+    if engine == "dense":
+        pytest.skip("exercises the sparse fallback only")
+    from searcharray_tpu.search import batch as batch_mod
+    monkeypatch.setattr(batch_mod, "_SPARSE_CHUNK_WORDS", 64)
+    rng = np.random.default_rng(9)
+    vocab = [f"s{i}" for i in range(30)]
+    corpus = [" ".join(rng.choice(vocab, size=20)) for _ in range(200)]
+    arr = SearchArray.index(corpus)
+    queries = [f"s{i}" for i in range(10)] + [["s0", "s1"], ["s2", "s3"]]
+    got = arr.score_batch(queries)
+    for i, q in enumerate(queries):
+        np.testing.assert_allclose(got[i], np.asarray(arr.score(q)),
+                                   rtol=1e-6, atol=1e-6, err_msg=str(q))
