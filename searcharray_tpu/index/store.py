@@ -12,7 +12,9 @@ import numpy as np
 
 from searcharray_tpu.index.builder import BuiltIndex, DocTermMatrix, TermPostings
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+_META_ARRAYS = ("offsets", "lengths", "dt_cols", "dt_rows", "doc_lens",
+                "doc_freqs")
 
 
 def _next_filename(data_dir: str, suffix: str) -> str:
@@ -51,18 +53,23 @@ def postings_setstate(postings: TermPostings, state: dict) -> None:
 
 
 def save_index(built: BuiltIndex, directory: str) -> None:
-    """Write a versioned on-disk index (postings, CSR metadata, vocab)."""
+    """Write a versioned on-disk index (postings, CSR metadata, vocab).
+
+    Every array is a plain ``.npy`` (v2) — ``np.savez`` funnels multi-GB
+    arrays through single-threaded zip extraction on load (minutes at
+    8.8M docs), while ``.npy`` files load at disk speed and mmap."""
     os.makedirs(directory, exist_ok=True)
     np.asarray(built.postings.data).tofile(os.path.join(directory, "postings.dat"))
-    np.savez(
-        os.path.join(directory, "meta.npz"),
-        offsets=built.postings.offsets,
-        lengths=built.postings.lengths,
-        dt_cols=built.doc_term.cols,
-        dt_rows=built.doc_term.rows,
-        doc_lens=built.doc_lens,
-        doc_freqs=built.doc_freqs,
-    )
+    arrays = {
+        "offsets": built.postings.offsets,
+        "lengths": built.postings.lengths,
+        "dt_cols": built.doc_term.cols,
+        "dt_rows": built.doc_term.rows,
+        "doc_lens": built.doc_lens,
+        "doc_freqs": built.doc_freqs,
+    }
+    for name in _META_ARRAYS:
+        np.save(os.path.join(directory, name + ".npy"), arrays[name])
     with open(os.path.join(directory, "index.json"), "w") as f:
         json.dump(
             {
@@ -83,16 +90,27 @@ def load_index(directory: str, mmap: bool = True) -> BuiltIndex:
 
     with open(os.path.join(directory, "index.json")) as f:
         meta = json.load(f)
-    if meta["format_version"] != FORMAT_VERSION:
-        raise ValueError(f"Unsupported index format {meta['format_version']}")
-    m = np.load(os.path.join(directory, "meta.npz"))
+    version = meta["format_version"]
+    if version not in (1, 2):
+        raise ValueError(f"Unsupported index format {version}")
+    if version == 1:
+        z = np.load(os.path.join(directory, "meta.npz"))
+        m = {name: z[name] for name in z.files}
+    else:
+        mode = "r" if mmap else None
+        m = {
+            name: np.load(os.path.join(directory, name + ".npy"),
+                          mmap_mode=mode)
+            for name in _META_ARRAYS
+        }
     dat = os.path.join(directory, "postings.dat")
     data = (
         np.memmap(dat, dtype=np.uint64, mode="r")
         if mmap
         else np.fromfile(dat, dtype=np.uint64)
     )
-    postings = TermPostings(data, m["offsets"], m["lengths"])
+    postings = TermPostings(data, np.asarray(m["offsets"]),
+                            np.asarray(m["lengths"]))
     if mmap:
         postings.mmap_path = dat
     vocab = Vocabulary()
@@ -103,8 +121,8 @@ def load_index(directory: str, mmap: bool = True) -> BuiltIndex:
         postings=postings,
         doc_term=DocTermMatrix(m["dt_cols"], m["dt_rows"]),
         vocab=vocab,
-        doc_lens=m["doc_lens"],
+        doc_lens=np.asarray(m["doc_lens"]),
         avg_doc_length=meta["avg_doc_length"],
         # absent in pre-round-2 saves: recomputed by BuiltIndex then
-        doc_freqs=m["doc_freqs"] if "doc_freqs" in m.files else None,
+        doc_freqs=np.asarray(m["doc_freqs"]) if "doc_freqs" in m else None,
     )

@@ -86,6 +86,33 @@ def blk_bits_for(max_doc_len: int) -> int:
     return bits
 
 
+def topk_exact(x, k: int, block: int = 1024):
+    """Exact top-k over the last axis, two-stage.
+
+    ``lax.top_k`` over a multi-million-element row is a single sequential
+    sort (~24 ms at 8.8M on v5e); taking per-block top-k first ([G, block]
+    rows sort in parallel) then reducing the [G*k] survivors is exact —
+    every global winner is in its block's top-k — and preserves
+    smallest-index tie-breaking, since flat candidate order equals index
+    order.  Falls back to one-stage when the row is small."""
+    n = x.shape[-1]
+    if n <= 4 * block or k >= block:
+        return jax.lax.top_k(x, k)
+    pad = -n % block
+    if pad:
+        fill = jnp.full(x.shape[:-1] + (pad,), -jnp.inf, x.dtype)
+        x = jnp.concatenate([x, fill], axis=-1)
+    g = (n + pad) // block
+    blocks = x.reshape(x.shape[:-1] + (g, block))
+    v1, i1 = jax.lax.top_k(blocks, k)                       # [..., g, k]
+    base = (jnp.arange(g, dtype=jnp.int32) * block)[:, None]
+    flat_v = v1.reshape(v1.shape[:-2] + (g * k,))
+    flat_i = (i1.astype(jnp.int32) + base).reshape(flat_v.shape)
+    v2, sel = jax.lax.top_k(flat_v, k)
+    idx = jnp.take_along_axis(flat_i, sel, axis=-1)
+    return v2, idx
+
+
 def take_term_planes(hdrs, pays, off, n, min_blk=None, max_blk=None,
                      *, bucket, blk_bits):
     """Slice bucket-sized (hdr32, pay32) planes with PAD-sanitized tail and

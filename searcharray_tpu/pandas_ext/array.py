@@ -52,7 +52,9 @@ def _topk_jit(num_docs: int, k: int):
     key = (num_docs, k)
     fn = _topk_cache.get(key)
     if fn is None:
-        fn = jax.jit(lambda dense: jax.lax.top_k(dense, k))
+        from searcharray_tpu.ops.kernels import topk_exact
+
+        fn = jax.jit(lambda dense: topk_exact(dense, k))
         _topk_cache[key] = fn
     return fn
 

@@ -233,7 +233,7 @@ def _pack_topk(dense, k: int):
     import jax
     import jax.numpy as jnp
 
-    scores, idx = jax.lax.top_k(dense, k)
+    scores, idx = K.topk_exact(dense, k)
     return jnp.concatenate(
         [jax.lax.bitcast_convert_type(scores, jnp.int32),
          idx.astype(jnp.int32)], axis=1)

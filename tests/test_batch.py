@@ -192,3 +192,22 @@ def test_sparse_chunk_word_cap(engine, monkeypatch):
     for i, q in enumerate(queries):
         np.testing.assert_allclose(got[i], np.asarray(arr.score(q)),
                                    rtol=1e-6, atol=1e-6, err_msg=str(q))
+
+
+def test_topk_exact_two_stage():
+    """topk_exact must match lax.top_k exactly, including smallest-index
+    tie-breaking, across the one-stage/two-stage boundary."""
+    import jax
+    from searcharray_tpu.ops.kernels import topk_exact
+
+    rng = np.random.default_rng(3)
+    for n, k, block in [(100, 5, 16), (1000, 5, 16), (1003, 7, 16),
+                        (5000, 3, 64), (4096, 10, 64)]:
+        # heavy ties: values drawn from a tiny set
+        x = rng.choice(np.float32([0.0, 1.0, 2.0, 3.0]), size=(3, n))
+        v_ref, i_ref = jax.lax.top_k(x, k)
+        v, i = topk_exact(x, k, block=block)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref),
+                                      err_msg=f"n={n}")
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref),
+                                      err_msg=f"n={n}")
