@@ -400,10 +400,11 @@ def score_batch_fused(dev: DeviceIndex,
     specs: List[dict] = []
     for gkey, grows in groups.items():
         if gkey[0] == "dphrase":
-            # broadcast chain gathers u32[Qp, T, NS]; cap at ~1 GB per
-            # program and keep the chunk's terms inside the plane pool
+            # broadcast chain gathers u32[Qp, T, NS]; cap at ~2 GB per
+            # program (chain temps add ~2x on top; fits beside the pools
+            # at 8.8M) and keep the chunk's terms inside the plane pool
             max_chunk = max(1, min(
-                (1 << 28) // (gkey[1] * max(1, NS)),
+                (1 << 29) // (gkey[1] * max(1, NS)),
                 (cap_p - 1) // gkey[1]))
         elif gkey[0] == "dterm":
             # gathered tf stack is f32[Qp, N]; same ~1 GB cap
