@@ -716,6 +716,15 @@ class SearchArray(ExtensionArray):
         import jax
 
         fused = getattr(similarity, "_fused", None)
+        full_view = not self.subset and len(self.rows) == self.corpus_size
+        # validate block=False BEFORE any early return: a non-fused
+        # similarity must raise here, not silently return a blocking tuple
+        if not block and not (fused is not None and slop == 0
+                              and top_k is not None and full_view
+                              and self._state.sharded is None):
+            raise ValueError(
+                "block=False requires top_k, exact-match queries, a fused "
+                "similarity, a full un-sliced view, and a single chip")
         if fused is None:
             dense = np.stack(
                 [self.score(q, similarity=similarity, slop=slop)
@@ -725,13 +734,6 @@ class SearchArray(ExtensionArray):
                 return dense
             idx = np.argsort(dense, axis=1)[:, ::-1][:, :top_k]
             return np.take_along_axis(dense, idx, axis=1), idx
-        full_view = not self.subset and len(self.rows) == self.corpus_size
-        if not block and not (fused is not None and slop == 0
-                              and top_k is not None and full_view
-                              and self._state.sharded is None):
-            raise ValueError(
-                "block=False requires top_k, exact-match queries, a fused "
-                "similarity, a full un-sliced view, and a single chip")
         if slop == 0:
             kind, k1, b = fused
             qtids = []

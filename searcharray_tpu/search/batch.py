@@ -326,7 +326,7 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
             plan_key = tuple(
                 (d, tuple(idxs)) for d, idxs in _plan(len(tids), split))
             pattern = tuple(tids.index(t) for t in tids)
-            if dense_ok:
+            if dense_ok and dense.phrase_fits_pool(dev, tids):
                 gkey = ("dphrase", len(tids), plan_key, pattern)
             else:
                 from searcharray_tpu.search.phrase import trim_spans

@@ -20,8 +20,9 @@ regardless of posting sizes, so batching is a plain leading vmap axis.
 Semantics are pinned to the sort-merge chain (same formulas as
 `phrase._merge_step` / `_same_term_step`, themselves pinned to the
 reference's bigram_freqs at `/root/reference/searcharray/phrase/
-bigram_freqs.py:104-188`); tests/test_dense.py asserts bit-for-bit parity
-against it, and via it against the reference scenario tables.
+bigram_freqs.py:104-188`); tests/test_batch.py (cross-engine parity
+cases) asserts bit-for-bit parity against it, and via it against the
+reference scenario tables.
 
 Memory policy: term planes live in ONE device-resident **plane pool**
 ``u32[C, NS]`` (term -> slot map on host, LRU eviction), and term tf
@@ -87,13 +88,28 @@ def tf_capacity(dev: DeviceIndex) -> int:
 # compile a fresh program per batch.
 
 
-def _init_pools(dev: DeviceIndex) -> None:
+def phrase_fits_pool(dev: DeviceIndex, tids: Sequence[int]) -> bool:
+    """Whether a phrase's unique terms fit the plane pool with a slot to
+    spare (callers fall back to the sparse sort-merge chain otherwise —
+    at huge-corpus scales the pool holds only a handful of planes)."""
+    return len(set(tids)) <= plane_capacity(dev) - 1
+
+
+# Pools are allocated lazily per kind: a term-only workload must not pay
+# the multi-GB plane-pool allocation (and vice versa) — two large indexes
+# can then coexist on one chip as long as only one needs each pool.
+def _init_plane_pool(dev: DeviceIndex) -> None:
     import jax.numpy as jnp
 
     if dev.plane_pool is None:
         C = plane_capacity(dev)
         dev.plane_pool = jnp.zeros((C, plane_size(dev)), jnp.uint32)
         dev.plane_free = list(range(C - 1, -1, -1))
+
+
+def _init_tf_pool(dev: DeviceIndex) -> None:
+    import jax.numpy as jnp
+
     if dev.tf_pool is None:
         Ct = tf_capacity(dev)
         dev.tf_pool = jnp.zeros((Ct, dev.corpus_size), jnp.float32)
@@ -221,13 +237,16 @@ def ensure_batch(dev: DeviceIndex, plane_tids: Sequence[int] = (),
     The TPU analog of the reference's docfreq/termfreq caches
     (`/root/reference/searcharray/phrase/middle_out.py:322-342`), shaped
     for a tunneled device where each dispatch costs ~9 ms."""
-    _init_pools(dev)
+    if plane_tids:
+        _init_plane_pool(dev)
+    if tf_tids:
+        _init_tf_pool(dev)
     new_p = _alloc_slots(dev.plane_slot, dev.plane_free,
                          set(pin_p) | set(plane_tids), plane_tids)
     new_t = _alloc_slots(dev.tf_slot, dev.tf_free,
                          set(pin_t) | set(tf_tids), tf_tids)
-    cap_p = dev.plane_pool.shape[0]
-    cap_t = dev.tf_pool.shape[0]
+    cap_p = 0 if dev.plane_pool is None else dev.plane_pool.shape[0]
+    cap_t = 0 if dev.tf_pool is None else dev.tf_pool.shape[0]
     subs = (_subfills(dev, "p", new_p, cap_p)
             + _subfills(dev, "t", new_t, cap_t))
     if not subs:
@@ -236,6 +255,8 @@ def ensure_batch(dev: DeviceIndex, plane_tids: Sequence[int] = (),
     skey = tuple(sk for sk, _ in subs)
     parts = tuple(arrs for _, arrs in subs)
     fn = _fill_fn(dev, skey, cap_p, cap_t)
+    # absent pools (lazy init) pass through as None: jit flattens them to
+    # zero leaves, and skey guarantees the traced body never touches them
     dev.plane_pool, dev.tf_pool = fn(dev.plane_pool, dev.tf_pool, dev.hdrs,
                                      dev.pays, parts)
 

@@ -680,7 +680,8 @@ def phrase_freqs_dense(index: DeviceIndex, term_ids: List[int],
         # dense block-layout chain (search/dense.py): elementwise, no sorts
         from searcharray_tpu.search import dense as dense_mod
 
-        if dense_mod.dense_eligible(index):
+        if (dense_mod.dense_eligible(index)
+                and dense_mod.phrase_fits_pool(index, term_ids)):
             return dense_mod.score_phrase_dense(
                 index, term_ids, _plan(len(term_ids), split), tids_key,
                 kind, k1, b, idf)

@@ -177,7 +177,8 @@ def span_freqs_dense(
     if (not windowed and w <= LSB_BITS and all(m == 1 for m in mults)):
         from searcharray_tpu.search import dense as dense_mod
 
-        if dense_mod.dense_eligible(index):
+        if (dense_mod.dense_eligible(index)
+                and dense_mod.phrase_fits_pool(index, uniq)):
             return dense_mod.score_span_dense(index, uniq, anchor_i, w,
                                               kind, k1, b, idf)
 
