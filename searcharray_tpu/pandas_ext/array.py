@@ -805,15 +805,38 @@ class SearchArray(ExtensionArray):
 
     def score_batch_device(self, queries: List[Union[str, List[str]]],
                            similarity: Similarity = default_bm25,
-                           slop: int = 0):
+                           slop: int = 0,
+                           rows: Optional[np.ndarray] = None):
         """Like :meth:`score_batch` but returns the f32[Q, len(self)]
         scores as a DEVICE array — no host transfer.  Callers composing
         further (edismax) pay one tunnel round trip for the whole query
         instead of one per phase.  Requires a fused builtin similarity.
+
+        With ``rows`` (a candidate doc-id subset; requires a full view,
+        fused similarity, slop=0, single chip) scores come back as
+        f32[Q, len(rows)] and compute is proportional to the subset —
+        the reference's phrase-phase cost contract (solr.py:328-338).
         """
         import jax.numpy as jnp
 
         fused = getattr(similarity, "_fused", None)
+        if rows is not None:
+            full_view = (not self.subset
+                         and len(self.rows) == self.corpus_size)
+            if (fused is None or slop != 0 or not full_view
+                    or self._state.sharded is not None):
+                raise ValueError(
+                    "rows= requires a fused similarity, slop=0, a full "
+                    "un-sliced view, and a single chip")
+            kind, k1, b = fused
+            qtids = []
+            for q in queries:
+                q = self._check_token_arg(q)
+                qtids.append(self._resolve_tids([q] if isinstance(q, str)
+                                                else q))
+            return batch_mod.score_batch_fused(
+                self.dev, qtids, kind, k1, b, as_device=True,
+                rows=np.asarray(rows, dtype=np.int64))
         if fused is None:
             # custom similarity: honour the reference protocol per query,
             # then stage the stack on device for composition

@@ -249,6 +249,7 @@ def _run_super(dev: DeviceIndex, specs: List[dict], kind: str, k1: float,
     import jax
     import jax.numpy as jnp
 
+    from searcharray_tpu.search import candidates as C
     from searcharray_tpu.search import dense
 
     # pad rows stay in the output (the host drops them): keying on Qp only
@@ -258,36 +259,76 @@ def _run_super(dev: DeviceIndex, specs: List[dict], kind: str, k1: float,
     cp = None if rows_dev is None else int(rows_dev.shape[0])
     key = ("super", dev.corpus_size, dev.blk_bits, skey, kind, k1, b,
            top_k, cp)
+    N = dev.corpus_size
+    Npad = _npad(N)
+    dev_static = {"N": N, "blk_bits": dev.blk_bits}
     fn = _group_cache.get(key)
     if fn is None:
-        def f(pool, tfpool, doc_lens, avgdl_, rows_, parts):
+        def f(hdrs, pays, pool, tfpool, doc_lens, avgdl_, rows_, parts):
             outs = []
-            for (gkey, _Qp), (slots, idfs) in zip(skey, parts):
+            for (gkey, _Qp), part in zip(skey, parts):
                 if gkey[0] == "dterm":
+                    slots, idfs = part
                     o = dense.term_group_body(kind, k1, b, top_k, tfpool,
                                               slots, doc_lens, idfs, avgdl_,
                                               rows=rows_)
-                else:
+                elif gkey[0] == "dphrase":
+                    slots, idfs = part
                     _, T, plan_key, pattern = gkey
                     o = dense.phrase_group_body(dev, T, plan_key, pattern,
                                                 kind, k1, b, top_k, pool,
                                                 slots, doc_lens, idfs,
                                                 avgdl_, rows=rows_)
+                elif gkey[0] == "cterm":
+                    offs, ns, idfs = part
+                    _, bucket, Kc = gkey
+                    tf, crows = jax.vmap(
+                        lambda o_, n_: C.cterm_body(
+                            dev_static, Kc, bucket, hdrs, pays, o_, n_)
+                    )(offs, ns)
+                    o = C.finish_candidates(tf, crows, doc_lens, idfs,
+                                            avgdl_, kind, k1, b, top_k, N,
+                                            Npad)
+                    if top_k is None:
+                        o = o[:, :N]
+                else:  # cphrase
+                    r_offs, r_ns, m_offs, m_ns, slots, idfs = part
+                    (_, T, plan_key, pattern, srcs, Kc, rbucket,
+                     _rarest_i) = gkey
+                    freqs, crows = jax.vmap(
+                        lambda ro, rn, mo, mn, sl: C.cphrase_body(
+                            dev_static, T, plan_key, pattern, srcs, Kc,
+                            rbucket, hdrs, pays, pool, ro, rn, mo, mn, sl)
+                    )(r_offs, r_ns, m_offs, m_ns, slots)
+                    o = C.finish_candidates(freqs, crows, doc_lens, idfs,
+                                            avgdl_, kind, k1, b, top_k, N,
+                                            Npad)
+                    if top_k is None:
+                        o = o[:, :N]
                 outs.append(o)
             return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
 
         fn = jax.jit(f)
         _group_cache[key] = fn
-    parts = tuple((s["slots"], s["idfs"]) for s in specs)
-    return fn(dev.plane_pool, dev.tf_pool, dev.doc_lens, avgdl, rows_dev,
-              parts)
+    parts = []
+    for s in specs:
+        if s["gkey"][0] in ("dterm", "dphrase"):
+            parts.append((s["slots"], s["idfs"]))
+        elif s["gkey"][0] == "cterm":
+            parts.append((s["offs"][:, 0], s["ns"][:, 0], s["idfs"]))
+        else:
+            parts.append((s["r_offs"], s["r_ns"], s["m_offs"], s["m_ns"],
+                          s["slots"], s["idfs"]))
+    return fn(dev.hdrs, dev.pays, dev.plane_pool, dev.tf_pool,
+              dev.doc_lens, avgdl, rows_dev, tuple(parts))
 
 
 # ---------------------------------------------------------------------------
 # batch driver
 # ---------------------------------------------------------------------------
 def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
-              kind: str):
+              kind: str, top_k: Optional[int] = None,
+              allow_candidates: bool = False):
     """Split queries into structure groups.
 
     Returns (groups, zero_rows): groups maps a structural key to a list of
@@ -297,9 +338,13 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
     Routing: with the dense block layout available (search/dense.py) term
     queries use cached tf vectors ("dterm") and exact phrases the
     elementwise dense chain ("dphrase") — shapes independent of posting
-    sizes, so groups merge maximally.  Fallbacks ("term"/"phrase") keep
-    the bucketed sort-merge kernels.
+    sizes, so groups merge maximally.  At huge-corpus scales selective
+    queries route to the candidate-subset engine ("cterm"/"cphrase",
+    search/candidates.py): work proportional to the rarest term's
+    docfreq, not the corpus.  Fallbacks ("term"/"phrase") keep the
+    bucketed sort-merge kernels.
     """
+    from searcharray_tpu.search import candidates as C
     from searcharray_tpu.search import dense
 
     dense_ok = dense.dense_eligible(dev)
@@ -314,8 +359,14 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
         spans = [dev.term_span(t) for t in tids]
         lengths = [s[1] for s in spans]
         if len(tids) == 1:
-            gkey = ("dterm",) if dense_ok else (
-                "term", K.bucket_of(max(1, lengths[0])))
+            if allow_candidates and lengths[0] > 0 and C.eligible_term(
+                    dev, dfs[0], top_k):
+                gkey = ("cterm", K.expand_bucket_of(lengths[0]),
+                        C.kc_bucket(dfs[0]))
+            elif dense_ok:
+                gkey = ("dterm",)
+            else:
+                gkey = ("term", K.bucket_of(max(1, lengths[0])))
             row = (qi, np.asarray([spans[0][0]], np.int32),
                    np.asarray([lengths[0]], np.int32), idf, tids)
         else:
@@ -326,7 +377,14 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
             plan_key = tuple(
                 (d, tuple(idxs)) for d, idxs in _plan(len(tids), split))
             pattern = tuple(tids.index(t) for t in tids)
-            if dense_ok and dense.phrase_fits_pool(dev, tids):
+            if allow_candidates and C.eligible_phrase(dev, tids, top_k):
+                rarest_i = int(np.argmin(dfs))
+                srcs = tuple(C.term_source(dev, lengths[i])
+                             for i in range(len(tids)))
+                gkey = ("cphrase", len(tids), plan_key, pattern, srcs,
+                        C.kc_bucket(dfs[rarest_i]),
+                        K.expand_bucket_of(lengths[rarest_i]), rarest_i)
+            elif dense_ok and dense.phrase_fits_pool(dev, tids):
                 gkey = ("dphrase", len(tids), plan_key, pattern)
             else:
                 from searcharray_tpu.search.phrase import trim_spans
@@ -370,22 +428,42 @@ def score_batch_fused(dev: DeviceIndex,
     """
     import jax.numpy as jnp
 
+    # dedup identical queries: serving batches repeat hot queries, and a
+    # deduped batch scores each distinct query once (results fan back out
+    # below) — the batch-level analog of the reference's tf/df caches
+    keymap: dict = {}
+    uniq: List[Optional[List[int]]] = []
+    expand: List[int] = []
+    for tids in queries_tids:
+        kq = None if tids is None else tuple(tids)
+        uid = keymap.get(kq)
+        if uid is None:
+            uid = len(uniq)
+            keymap[kq] = uid
+            uniq.append(tids)
+        expand.append(uid)
+    n_total = len(queries_tids)
+    queries_tids = uniq
+    dedup = len(uniq) != n_total
+
     Q = len(queries_tids)
     avgdl = np.float32(max(dev.avg_doc_length, 1e-38))
-    groups, zero_rows = _classify(dev, queries_tids, kind)
+    groups, zero_rows = _classify(dev, queries_tids, kind, top_k=top_k,
+                                  allow_candidates=rows is None)
     if dev.avg_doc_length == 0:
         zero_rows = list(range(Q))
         groups = {}
 
     n_out = dev.corpus_size if rows is None else len(rows)
     rows_dev = None
+    rows_cols = None  # device column gather for sparse-fallback groups
     if rows is not None:
-        if any(g[0] in ("term", "phrase") for g in groups):
-            raise ValueError("subset scoring requires the dense engine")
         Cp = K.bucket_of(max(1, len(rows)))
         rows_p = np.zeros(Cp, np.int32)
         rows_p[: len(rows)] = rows
         rows_dev = jnp.asarray(rows_p)
+        if any(g[0] in ("term", "phrase") for g in groups):
+            rows_cols = jnp.asarray(np.asarray(rows, dtype=np.int32))
 
     from searcharray_tpu.search import dense
 
@@ -410,6 +488,18 @@ def score_batch_fused(dev: DeviceIndex,
             # gathered tf stack is f32[Qp, N]; same ~1 GB cap
             max_chunk = max(1, min((1 << 28) // max(1, dev.corpus_size),
                                    cap_t - 1))
+        elif gkey[0] == "cterm":
+            # work per query is one bucketed slice + Kc-sized compaction
+            max_chunk = max(1, _SPARSE_CHUNK_WORDS // max(1, gkey[1]))
+        elif gkey[0] == "cphrase":
+            _, T, _pk, _pat, srcs, Kc, rbucket, _ri = gkey
+            n_pool = sum(1 for s in srcs if s == "pool")
+            mini_words = sum(s for s in srcs if s != "pool") + rbucket
+            S = 1 << dev.blk_bits
+            per_q = T * Kc * S + mini_words  # gathered/sliced elements
+            max_chunk = max(1, min(
+                _SPARSE_CHUNK_WORDS // max(1, per_q),
+                ((cap_p - 1) // n_pool) if n_pool else (1 << 30)))
         else:
             # sparse fallback: bound by the flat segment-sum key space AND
             # by sliced posting-bucket bytes (stopword buckets at 8.8M
@@ -431,6 +521,29 @@ def score_batch_fused(dev: DeviceIndex,
                 spec["tf_tids"] = [row[4][0] for row in chunk]
             elif gkey[0] == "dphrase":
                 spec["plane_tids"] = [t for row in chunk for t in row[4]]
+            elif gkey[0] == "cterm":
+                offs = np.zeros((Qp, 1), np.int32)
+                ns = np.zeros((Qp, 1), np.int32)
+                for r, (qi, o, n, idf, _tids) in enumerate(chunk):
+                    offs[r], ns[r] = o, n
+                spec["offs"], spec["ns"] = offs, ns
+            elif gkey[0] == "cphrase":
+                _, T, _pk, _pat, srcs, Kc, rbucket, rarest_i = gkey
+                pool_is = [i for i in range(T) if srcs[i] == "pool"]
+                mini_is = [i for i in range(T) if srcs[i] != "pool"]
+                r_offs = np.zeros(Qp, np.int32)
+                r_ns = np.zeros(Qp, np.int32)
+                m_offs = np.zeros((Qp, len(mini_is)), np.int32)
+                m_ns = np.zeros((Qp, len(mini_is)), np.int32)
+                for r, (qi, o, n, idf, _tids) in enumerate(chunk):
+                    r_offs[r], r_ns[r] = o[rarest_i], n[rarest_i]
+                    m_offs[r] = o[mini_is]
+                    m_ns[r] = n[mini_is]
+                spec["r_offs"], spec["r_ns"] = r_offs, r_ns
+                spec["m_offs"], spec["m_ns"] = m_offs, m_ns
+                spec["pool_is"] = pool_is
+                spec["plane_tids"] = [row[4][i] for row in chunk
+                                      for i in pool_is]
             else:
                 T = 1 if gkey[0] == "term" else gkey[1]
                 offs = np.zeros((Qp, T), np.int32)
@@ -443,7 +556,8 @@ def score_batch_fused(dev: DeviceIndex,
             specs.append(spec)
 
     pending: List[Tuple[list, object]] = []  # (query indices, device out)
-    fused = [s for s in specs if s["gkey"][0] in ("dterm", "dphrase")]
+    fused = [s for s in specs
+             if s["gkey"][0] in ("dterm", "dphrase", "cterm", "cphrase")]
     # canonical spec order: the super program is keyed by the spec-shape
     # tuple, so group arrival order must not mint new programs
     fused.sort(key=lambda s: repr((s["gkey"], s["Qp"])))
@@ -477,18 +591,34 @@ def score_batch_fused(dev: DeviceIndex,
         gather_bytes = 0
         for s in wave:
             Qg, Qp = s["Qg"], s["Qp"]
-            if s["gkey"][0] == "dterm":
+            kind0 = s["gkey"][0]
+            if kind0 == "dterm":
                 slots = np.empty(Qp, np.int32)
                 slots[:Qg] = dense.tf_slots_of(dev, s["tf_tids"])
                 slots[Qg:] = slots[0]  # pad rows reuse row 0 (idf 0)
                 gather_bytes += Qp * dev.corpus_size * 4
-            else:
+            elif kind0 == "dphrase":
                 T = s["gkey"][1]
                 slots = np.empty((Qp, T), np.int32)
                 slots[:Qg] = dense.plane_slots_of(
                     dev, s["plane_tids"]).reshape(Qg, T)
                 slots[Qg:] = slots[0]
                 gather_bytes += Qp * T * NS * 4
+            elif kind0 == "cterm":
+                _, bucket, Kc = s["gkey"]
+                gather_bytes += Qp * (bucket + Kc) * 8
+                continue
+            else:  # cphrase
+                _, T, _pk, _pat, srcs, Kc, rbucket, _ri = s["gkey"]
+                npool = len(s["pool_is"])
+                slots = np.zeros((Qp, npool), np.int32)
+                if npool:
+                    slots[:Qg] = dense.plane_slots_of(
+                        dev, s["plane_tids"]).reshape(Qg, npool)
+                    slots[Qg:] = slots[0]
+                S = 1 << dev.blk_bits
+                mini_words = sum(x for x in srcs if x != "pool") + rbucket
+                gather_bytes += Qp * (T * Kc * S * 4 + mini_words * 8)
             s["slots"] = slots
         wave_k = None if rows is not None else top_k
         if gather_bytes <= _SUPER_FUSE_BYTES:
@@ -511,22 +641,27 @@ def score_batch_fused(dev: DeviceIndex,
     for spec in specs:
         gkey, chunk = spec["gkey"], spec["chunk"]
         Qg, Qp, idfs = spec["Qg"], spec["Qp"], spec["idfs"]
-        if gkey[0] in ("dterm", "dphrase"):
+        if gkey[0] in ("dterm", "dphrase", "cterm", "cphrase"):
             continue
+        sp_k = None if rows is not None else top_k
         if gkey[0] == "term":
             fn = _term_group_fn(dev, Qp, gkey[1], spec["wpb"], kind, k1, b,
-                                top_k)
+                                sp_k)
             out = fn(dev.hdrs, dev.pays, dev.doc_lens, avgdl,
                      spec["offs"][:, 0], spec["ns"][:, 0], idfs)
         else:
             _, T, bucket, plan_key, pattern = gkey
             fn = _phrase_group_fn(dev, Qp, T, bucket, plan_key, pattern,
-                                  kind, k1, b, top_k)
+                                  kind, k1, b, sp_k)
             out = fn(dev.hdrs, dev.pays, dev.doc_lens, avgdl, spec["offs"],
                      spec["ns"], idfs)
-        pending.append(([qi for qi, *_ in chunk],
-                        out[:Qg, :n_out] if rows is not None
-                        else out[:Qg]))
+        if rows is not None:
+            # sparse groups score the full corpus; gather the requested
+            # rows on device so the output shape matches the dense specs
+            out = jnp.take(out[:Qg], rows_cols, axis=1)
+        else:
+            out = out[:Qg]
+        pending.append(([qi for qi, *_ in chunk], out))
 
     if as_device:
         assert top_k is None, "as_device and top_k are exclusive"
@@ -541,6 +676,9 @@ def score_batch_fused(dev: DeviceIndex,
             if len(keep) != len(all_qis):  # drop group-padding rows
                 stacked = stacked[jnp.asarray(np.asarray(keep, np.int32))]
             out = out.at[qidx].set(stacked)
+        if dedup:  # fan duplicate queries back out
+            out = jnp.take(out, jnp.asarray(np.asarray(expand, np.int32)),
+                           axis=0)
         return out
 
     if top_k is not None and rows is None:
@@ -563,6 +701,8 @@ def score_batch_fused(dev: DeviceIndex,
                                 np.float32)
                             idx[qi] = packed[row, k:]
                         row += 1
+            if dedup:  # fan duplicate queries back out
+                return scores[expand], idx[expand]
             return scores, idx
 
         if defer:
@@ -589,6 +729,8 @@ def score_batch_fused(dev: DeviceIndex,
                 if qi is not None:  # skip group-padding rows
                     dense[qi] = stacked[row]
                 row += 1
+    if dedup:  # fan duplicate queries back out
+        dense = dense[expand]
     if top_k is not None:
         idx = np.argsort(dense, axis=1)[:, ::-1][:, :top_k]
         return np.take_along_axis(dense, idx, axis=1), idx

@@ -1,0 +1,238 @@
+"""Candidate-subset scoring: O(df) work per query instead of O(corpus).
+
+At huge-corpus scales the dense engine's full planes stop paying: a
+term's payload plane at 8.8M docs is ~281 MB, so a phrase query streams
+``T x 281 MB`` of HBM and only one query fits a program (round-2 VERDICT:
+49 qps, ~10x off roofline).  But a phrase can only match documents that
+contain its rarest term, and a term query only its own documents — the
+per-doc score everywhere else is exactly zero (the chain's min includes
+the rarest term's step).  This is the dense-engine generalization of the
+reference's ``trim_phrase_search`` (`/root/reference/searcharray/phrase/
+middle_out.py:44-70`) and of its "phrase phases only on matched rows"
+contract (`/root/reference/searcharray/solr.py:328-338`).
+
+So: derive the **candidate doc rows** on device from the rarest term's
+posting slice (sorted doc keys -> run-compaction into a static ``Kc``
+buffer; ``Kc`` = padded docfreq, known on host), then build each term's
+**mini-plane** ``u32[Kc * S]`` — the candidate docs' block rows only —
+and run the ordinary dense chain / similarity on it:
+
+* big terms ("pool" source): gather ``Kc x S`` flat slots out of the
+  term's pooled full plane — one clustered-gather round, ~32 B runs;
+* small terms ("mini" source, <= MINI_MAX_WORDS posting words): skip the
+  pool entirely — ``searchsorted`` the slice's doc keys into the [Kc]
+  candidate row table (VMEM-resident, log2(Kc) rounds) and scatter the
+  payloads in-program.  Rare terms never touch the plane pool, so the
+  pool holds only the hot stopword planes and serving stops thrashing.
+
+Everything is static-shape: candidate buffers pad with a sentinel row
+(``corpus_size``), masked out of scores; top-k runs over the Kc axis and
+maps indices back through the row table on device, so the packed
+[Q, 2k] wire format is identical to the full-corpus groups.
+
+Known tie-region divergence: queries matching fewer than k docs fill the
+top-k tail with an arbitrary *zero-score* document (the full-corpus
+engine fills with the smallest-index docs, also zero-score).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from searcharray_tpu.index.device import DeviceIndex
+from searcharray_tpu.ops import kernels as K
+
+# Candidate scoring turns on only where it wins: big corpora (full planes
+# / tf rows >= ~4 MB of traffic per query) and selective queries (padded
+# candidate count at most corpus/CAND_MAX_FRAC).  Tests force it on tiny
+# corpora by patching CAND_MIN_DOCS.
+CAND_MIN_DOCS = 1 << 19
+CAND_MAX_FRAC = 8
+MINI_MAX_WORDS = 1 << 18  # searchsorted-source ceiling (bucketed words)
+_KC_MIN = 64
+
+
+def kc_bucket(df: int) -> int:
+    """Padded candidate-row count for a docfreq (pow-2: bounded variety)."""
+    b = _KC_MIN
+    while b < df:
+        b <<= 1
+    return b
+
+
+def term_source(dev: DeviceIndex, n_words: int):
+    """Per-term mini-plane source: coarse posting bucket for the
+    in-program searchsorted alignment, or "pool" for stopword-sized terms
+    (gathered from their pooled full plane)."""
+    b = K.expand_bucket_of(max(1, n_words))
+    return "pool" if b > MINI_MAX_WORDS else b
+
+
+def eligible_term(dev: DeviceIndex, df: int, top_k: Optional[int]) -> bool:
+    N = dev.corpus_size
+    if N < CAND_MIN_DOCS:
+        return False
+    kc = kc_bucket(df)
+    if top_k is not None and top_k > kc:
+        return False
+    return kc * CAND_MAX_FRAC <= N
+
+
+def eligible_phrase(dev: DeviceIndex, tids: Sequence[int],
+                    top_k: Optional[int]) -> bool:
+    from searcharray_tpu.search import dense
+
+    N = dev.corpus_size
+    if N < CAND_MIN_DOCS:
+        return False
+    df_r = min(int(dev.doc_freqs[t]) for t in tids)
+    kc = kc_bucket(df_r)
+    if top_k is not None and top_k > kc:
+        return False
+    if kc * CAND_MAX_FRAC > N:
+        return False
+    # pool-source terms still need pooled planes (and the pool must fit
+    # them); mini-source terms need nothing
+    if not dense.dense_eligible(dev):
+        return all(term_source(dev, dev.term_span(t)[1]) != "pool"
+                   for t in set(tids))
+    pool_terms = {t for t in tids
+                  if term_source(dev, dev.term_span(t)[1]) == "pool"}
+    return len(pool_terms) <= dense.plane_capacity(dev) - 1
+
+
+# ---------------------------------------------------------------------------
+# traced bodies (single query; callers vmap over the batch)
+# ---------------------------------------------------------------------------
+def _compact_rows(keys, valid_word, Kc: int, num_docs: int):
+    """Sorted doc keys [B] -> (rows int32[Kc] sentinel-padded sorted,
+    cand_idx int32[B] candidate index per word, n_valid)."""
+    import jax.numpy as jnp
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), keys[1:] != keys[:-1]]) & valid_word
+    cidx = jnp.cumsum(first.astype(jnp.int32)) - 1
+    rows = jnp.full(Kc, num_docs, jnp.int32).at[
+        jnp.where(valid_word, cidx, Kc)
+    ].set(keys, mode="drop", indices_are_sorted=True)
+    return rows, cidx, first.sum().astype(jnp.int32)
+
+
+def _slice_keys(dev_static, hdrs, pays, off, n, bucket: int):
+    import jax.numpy as jnp
+
+    blk_bits = dev_static["blk_bits"]
+    h, p = K.take_term_planes(hdrs, pays, off, n, bucket=bucket,
+                              blk_bits=blk_bits)
+    keys = (h >> jnp.int32(blk_bits)).astype(jnp.int32)
+    valid = h != jnp.int32(K.PAD_HDR32)
+    blks = h & jnp.int32((1 << blk_bits) - 1)
+    return keys, blks, p, valid
+
+
+def cterm_body(dev_static, Kc: int, bucket: int, hdrs, pays, off, n):
+    """One term query: (tf float32[Kc], rows int32[Kc])."""
+    import jax.numpy as jnp
+
+    from searcharray_tpu.search.dense import _popcount_f32
+
+    keys, _blks, p, valid = _slice_keys(dev_static, hdrs, pays, off, n,
+                                        bucket)
+    rows, cidx, _nv = _compact_rows(keys, valid, Kc, dev_static["N"])
+    tf = jnp.zeros(Kc, jnp.float32).at[
+        jnp.where(valid, cidx, Kc)
+    ].add(_popcount_f32(p), mode="drop", indices_are_sorted=True)
+    return tf, rows
+
+
+def cphrase_body(dev_static, T: int, plan_key, pattern, srcs, Kc: int,
+                 rarest_bucket: int, hdrs, pays, pool, r_off, r_n,
+                 m_offs, m_ns, slots):
+    """One phrase query: (freqs float32[Kc], rows int32[Kc]).
+
+    ``srcs[i]`` is "pool" (gather Kc*S slots from the pooled plane at
+    ``slots[j]``) or a mini bucket (searchsorted-align the raw slice at
+    ``m_offs[j]/m_ns[j]``).  j indexes within each source kind in term
+    order."""
+    import jax.numpy as jnp
+
+    from searcharray_tpu.search.dense import (
+        phrase_counts_dense_planes,
+        plane_slots,
+    )
+
+    N = dev_static["N"]
+    blk_bits = dev_static["blk_bits"]
+    S = 1 << blk_bits
+
+    r_keys, _b, _p, r_valid = _slice_keys(dev_static, hdrs, pays, r_off,
+                                          r_n, rarest_bucket)
+    rows, _cidx, _nv = _compact_rows(r_keys, r_valid, Kc, N)
+
+    rows_clip = jnp.clip(rows, 0, N - 1)
+    flat = (rows_clip[:, None] * jnp.int32(S)
+            + jnp.arange(S, dtype=jnp.int32)[None, :]).reshape(-1)
+
+    minis = []
+    jp = jm = 0
+    for i in range(T):
+        if srcs[i] == "pool":
+            minis.append(jnp.take(pool[slots[jp]], flat, mode="clip"))
+            jp += 1
+        else:
+            bkt = srcs[i]
+            keys_i, blks_i, p_i, valid_i = _slice_keys(
+                dev_static, hdrs, pays, m_offs[jm], m_ns[jm], bkt)
+            ci = jnp.searchsorted(rows, keys_i).astype(jnp.int32)
+            ci_c = jnp.clip(ci, 0, Kc - 1)
+            hit = valid_i & (jnp.take(rows, ci_c) == keys_i)
+            # miss sentinels (Kc*S) are interleaved with hits, so indices
+            # are NOT sorted here — no indices_are_sorted hint
+            sidx = jnp.where(hit, ci_c * jnp.int32(S) + blks_i,
+                             jnp.int32(Kc * S))
+            minis.append(
+                jnp.zeros(Kc * S, jnp.uint32).at[sidx].set(
+                    p_i, mode="drop"))
+            jm += 1
+    plan = [(d, list(idxs)) for d, idxs in plan_key]
+    freqs = phrase_counts_dense_planes(minis, list(pattern), plan, Kc, S)
+    return freqs, rows
+
+
+def finish_candidates(freqs, rows, doc_lens, idfs, avgdl, kind, k1, b,
+                      top_k: Optional[int], N: int, Npad: int):
+    """[Qg, Kc] freqs + candidate rows -> packed top-k (real doc ids) or
+    dense [Qg, Npad] scores."""
+    import jax
+    import jax.numpy as jnp
+
+    from searcharray_tpu.search.scoring import apply_similarity_device
+
+    Qg, Kc = freqs.shape
+    valid = rows < jnp.int32(N)
+    rows_clip = jnp.clip(rows, 0, N - 1)
+    dl = jnp.take(doc_lens, rows_clip, mode="clip")
+    scores = apply_similarity_device(kind, freqs, dl, idfs[:, None], avgdl,
+                                     k1, b)
+    scores = jnp.where(valid, scores, np.float32(0.0))
+    if top_k is None:
+        offs = (jnp.arange(Qg, dtype=jnp.int32) * jnp.int32(Npad))[:, None]
+        flat = jnp.where(valid, rows_clip + offs, jnp.int32(Qg * Npad))
+        return jnp.zeros(Qg * Npad, jnp.float32).at[flat.reshape(-1)].add(
+            scores.reshape(-1), mode="drop").reshape(Qg, Npad)
+    # top-k over the candidate axis, indices mapped back to doc ids; pad
+    # slots map to a guaranteed zero-score (non-candidate) doc
+    k = top_k
+    n_valid = valid.sum(axis=1)
+    cand_max = jnp.max(jnp.where(valid, rows, -1), axis=1)
+    fallback = jnp.where(cand_max < N - 1, cand_max + 1,
+                         jnp.maximum(rows[:, 0] - 1, 0))
+    rows_m = jnp.where(valid, rows, fallback[:, None])
+    masked = jnp.where(valid, scores, np.float32(-1.0))
+    v, i = jax.lax.top_k(masked, k)
+    real = jnp.take_along_axis(rows_m, i, axis=1)
+    v = jnp.maximum(v, np.float32(0.0))
+    del n_valid
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(v, jnp.int32), real], axis=1)

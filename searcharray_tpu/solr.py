@@ -167,8 +167,29 @@ def _edismax_field_centric(frame, query_fields, num_search_terms, search_terms,
     return qf_scores, " | ".join(explain)
 
 
+# Candidate-row phrase phases engage above this corpus size when the
+# main query matched at most 1/PHASE_SUBSET_MAX_FRAC of the docs — the
+# reference's cost contract (phrase phases proportional to matches,
+# solr.py:328-338).  Below the threshold the full-corpus mask is cheaper
+# than the extra host round trip for the match set.
+PHASE_SUBSET_MIN_DOCS = 1 << 17
+PHASE_SUBSET_MAX_FRAC = 8
+
+
+def _phase_candidate_rows(qf_scores) -> Optional[np.ndarray]:
+    """Doc ids matched by the main query, or None when subset scoring
+    would not pay (small corpus / broad match / no matches)."""
+    n = int(qf_scores.shape[0])
+    if n < PHASE_SUBSET_MIN_DOCS:
+        return None
+    matched = np.flatnonzero(np.asarray(qf_scores > 0))
+    if len(matched) == 0 or len(matched) * PHASE_SUBSET_MAX_FRAC > n:
+        return None
+    return matched
+
+
 def _ngram_phase(frame, search_terms, fields, similarity, ngram: int,
-                 slop: int = 0):
+                 slop: int = 0, rows: Optional[np.ndarray] = None):
     """pf (ngram=0 means whole phrase), pf2 (ngram=2), pf3 (ngram=3) scoring.
 
     One batched device program per field scores all grams; the result stays
@@ -177,8 +198,20 @@ def _ngram_phase(frame, search_terms, fields, similarity, ngram: int,
     (solr.py:328-338) — per-row phrase scores are independent and use
     whole-index stats either way.
 
+    With ``rows`` (the main query's matched docs) grams score only those
+    rows — compute proportional to matches, not corpus (the reference's
+    cost contract).  Returns (total, explain, rows_used): ``rows_used`` is
+    the row set actually applied (None when the phase ran full-corpus —
+    slop phases, non-fused similarities, and sharded fields keep the
+    mask-after path).
+
     ``slop`` wires the Solr ps/ps2/ps3 parameters into the phrase phases
     (the reference accepts but never applies them, solr.py:178-248)."""
+    if rows is not None and (slop != 0 or any(
+            getattr(similarity.get(f, default_bm25), "_fused", None) is None
+            or get_field(frame, f)._state.sharded is not None
+            for f in fields)):
+        rows = None
     total = None
     explain = ""
     for field, boost in fields.items():
@@ -192,7 +225,7 @@ def _ngram_phase(frame, search_terms, fields, similarity, ngram: int,
         else:
             grams = [terms[i : i + ngram] for i in range(len(terms) - ngram + 1)]
         gram_scores = arr.score_batch_device(
-            grams, similarity=similarity[field], slop=slop)
+            grams, similarity=similarity[field], slop=slop, rows=rows)
         contrib = gram_scores.sum(axis=0)
         if ngram == 2 and grams:
             # parity quirk: the reference double-appends the final bigram
@@ -204,7 +237,7 @@ def _ngram_phase(frame, search_terms, fields, similarity, ngram: int,
         for gram in grams:
             slop_exp = f"~{slop}" if slop else ""
             explain += f" ({field}:\"{' '.join(gram)}\"{slop_exp})^{_boost_exp(boost)}"
-    return total, explain
+    return total, explain, (rows if total is not None else None)
 
 
 def edismax(frame: pd.DataFrame, q: str, qf: List[str],
@@ -255,25 +288,44 @@ def edismax(frame: pd.DataFrame, q: str, qf: List[str],
             tie=tie, similarity=similarity,
         )
 
-    # Phrase phases contribute only at rows matched by the main query
-    # (device mask == the reference's row-subset scoring, solr.py:328-338).
+    # Phrase phases contribute only at rows matched by the main query.
+    # At scale the matched rows are computed once and the grams score only
+    # those docs (the reference's candidate pruning, solr.py:328-338);
+    # otherwise a device mask after full-corpus scoring — numerically
+    # identical either way (per-row phrase scores are independent and use
+    # whole-index stats).
     import jax.numpy as jnp
 
-    phrase_scores, pf_explain = _ngram_phase(
-        frame, search_terms, phrase_fields, similarity, 0, ps
+    rows = None
+    if phrase_fields or bigram_fields or trigram_fields:
+        rows = _phase_candidate_rows(qf_scores)
+
+    phrase_scores, pf_explain, pf_rows = _ngram_phase(
+        frame, search_terms, phrase_fields, similarity, 0, ps, rows
     )
     explain += pf_explain
-    bigram_scores, pf2_explain = _ngram_phase(
-        frame, search_terms, bigram_fields, similarity, 2, ps2
+    bigram_scores, pf2_explain, pf2_rows = _ngram_phase(
+        frame, search_terms, bigram_fields, similarity, 2, ps2, rows
     )
     explain += pf2_explain
-    trigram_scores, pf3_explain = _ngram_phase(
-        frame, search_terms, trigram_fields, similarity, 3, ps3
+    trigram_scores, pf3_explain, pf3_rows = _ngram_phase(
+        frame, search_terms, trigram_fields, similarity, 3, ps3, rows
     )
     explain += pf3_explain
 
-    for extra in (phrase_scores, bigram_scores, trigram_scores):
-        if extra is not None:
+    rows_dev = None
+    for extra, extra_rows in ((phrase_scores, pf_rows),
+                              (bigram_scores, pf2_rows),
+                              (trigram_scores, pf3_rows)):
+        if extra is None:
+            continue
+        if extra_rows is not None:
+            # extra is rows-shaped; qf_scores > 0 exactly at these rows,
+            # so a scatter-add is the masked add
+            if rows_dev is None:
+                rows_dev = jnp.asarray(extra_rows.astype(np.int32))
+            qf_scores = qf_scores.at[rows_dev].add(extra)
+        else:
             qf_scores = qf_scores + jnp.where(qf_scores > 0, extra,
                                               np.float32(0.0))
 

@@ -1,0 +1,129 @@
+"""Candidate-subset engine (search/candidates.py) parity vs the
+full-corpus dense/sparse engines.
+
+The candidate path turns on only at huge corpora; tests force it by
+patching CAND_MIN_DOCS and exercise both mini (searchsorted) and pool
+(plane gather) term sources by patching MINI_MAX_WORDS."""
+import numpy as np
+import pytest
+
+from searcharray_tpu import SearchArray
+from searcharray_tpu.search import batch as batch_mod
+from searcharray_tpu.search import candidates as cand_mod
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rng = np.random.default_rng(21)
+    vocab = ["hot1", "hot2", "hot3"] + [f"r{i}" for i in range(300)]
+    # hot terms near-uniform, long rare tail
+    probs = np.concatenate([[0.25, 0.2, 0.15],
+                            np.full(300, 0.4 / 300)])
+    corpus = [
+        " ".join(rng.choice(vocab, size=rng.integers(6, 50), p=probs))
+        for _ in range(4000)
+    ]
+    corpus.append("r0 hot1 r0 hot1 r0")      # same-term + phrase material
+    corpus.append("r1 r2 r3 r1 r2 r3")
+    corpus.append("")
+    return SearchArray.index(corpus)
+
+
+QUERIES = [
+    "r0",                      # rare term -> cterm
+    "r17",
+    ["r0", "hot1"],            # rare+hot phrase -> cphrase (mixed srcs)
+    ["hot1", "r0"],
+    ["r1", "r2", "r3"],        # all-rare trigram
+    ["r0", "r0"],              # same-term rare bigram
+    ["r1", "r2", "r3", "r1"],  # 4-gram with repeat
+    "nosuchterm",
+    ["r0", "nosuchterm"],
+]
+
+
+@pytest.fixture(params=["mini", "mixed"])
+def forced(request, monkeypatch):
+    """Force the candidate path on; 'mixed' additionally forces hot terms
+    onto the pool source (as stopwords are at real scale)."""
+    monkeypatch.setattr(cand_mod, "CAND_MIN_DOCS", 0)
+    if request.param == "mixed":
+        monkeypatch.setattr(cand_mod, "MINI_MAX_WORDS", 2048)
+    return request.param
+
+
+def _expected(docs, queries):
+    return np.stack([np.asarray(docs.score(q)) for q in queries])
+
+
+def test_candidate_routing_engaged(docs, forced):
+    tids = docs._resolve_tids(["r0"])
+    groups, _ = batch_mod._classify(docs.dev, [tids], "bm25",
+                                    allow_candidates=True)
+    assert list(groups)[0][0] == "cterm"
+    ptids = docs._resolve_tids(["r0", "hot1"])
+    groups, _ = batch_mod._classify(docs.dev, [ptids], "bm25",
+                                    allow_candidates=True)
+    gkey = list(groups)[0]
+    assert gkey[0] == "cphrase"
+    if forced == "mixed":
+        assert "pool" in gkey[4]  # hot1 must use the pooled plane
+
+
+def test_candidate_dense_parity(docs, forced):
+    got = docs.score_batch(QUERIES)
+    exp = _expected(docs, QUERIES)
+    np.testing.assert_allclose(got, exp, rtol=1e-6, atol=1e-6)
+
+
+def test_candidate_topk_parity(docs, forced):
+    k = 5
+    scores, idx = docs.score_batch(QUERIES, top_k=k)
+    exp = _expected(docs, QUERIES)
+    for i, q in enumerate(QUERIES):
+        np.testing.assert_allclose(
+            scores[i], np.sort(exp[i])[::-1][:k], rtol=1e-6, atol=1e-6,
+            err_msg=str(q))
+        # picked docs must carry exactly the reported score (zero-tail
+        # fillers are guaranteed zero-score docs)
+        np.testing.assert_allclose(exp[i][idx[i]], scores[i], rtol=1e-6,
+                                   atol=1e-6, err_msg=str(q))
+
+
+def test_candidate_as_device_parity(docs, forced):
+    import jax.numpy as jnp
+
+    out = docs.score_batch_device(QUERIES[:5])
+    assert isinstance(out, jnp.ndarray)
+    np.testing.assert_allclose(np.asarray(out), _expected(docs, QUERIES[:5]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_dedup_fans_out(docs, forced):
+    queries = ["r0", ["r0", "hot1"], "r0", ["r0", "hot1"], "r17", "r0"]
+    got = docs.score_batch(queries)
+    exp = _expected(docs, queries)
+    np.testing.assert_allclose(got, exp, rtol=1e-6, atol=1e-6)
+    scores, idx = docs.score_batch(queries, top_k=4)
+    np.testing.assert_allclose(scores[0], scores[2], rtol=0, atol=0)
+    np.testing.assert_array_equal(idx[0], idx[2])
+    np.testing.assert_allclose(
+        scores, np.sort(exp, axis=1)[:, ::-1][:, :4], rtol=1e-6, atol=1e-6)
+
+
+def test_eligibility_gates(docs):
+    dev = docs.dev
+    # corpus below CAND_MIN_DOCS: never eligible
+    assert not cand_mod.eligible_term(dev, 10, None)
+    # forced on: selective df eligible, stopword df not
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(cand_mod, "CAND_MIN_DOCS", 0)
+        assert cand_mod.eligible_term(dev, 10, None)
+        assert not cand_mod.eligible_term(dev, len(docs), None)
+        # top_k larger than the candidate buffer: not eligible
+        assert not cand_mod.eligible_term(dev, 10, 1000)
+    finally:
+        mp.undo()

@@ -217,3 +217,33 @@ def test_ps_wires_slop_into_pf(frame):
     tight, _ = edismax(frame, q="foo bar", qf=["title"], pf=["title"])
     loose, _ = edismax(frame, q="foo bar", qf=["title"], pf=["title"], ps=3)
     assert loose[0] >= tight[0]
+
+
+def test_phase_candidate_rows_parity(monkeypatch):
+    """Candidate-row phrase phases (cost proportional to matches) must be
+    bit-identical to the full-corpus mask-after composition."""
+    import searcharray_tpu.solr as solr_mod
+
+    rng = np.random.default_rng(13)
+    vocab = ["foo", "bar", "baz", "qux"] + [f"w{i}" for i in range(150)]
+    probs = 1.0 / np.arange(1, len(vocab) + 1)
+    probs /= probs.sum()
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(4, 30), p=probs))
+            for _ in range(2500)]
+    docs[7] = "foo bar baz deep phrase " + docs[7]
+    fr = pd.DataFrame({
+        "title": SearchArray.index(docs),
+        "body": SearchArray.index(list(reversed(docs))),
+    })
+    kwargs = dict(q="foo bar baz", qf=["title", "body^2"],
+                  pf=["title"], pf2=["title", "body"], pf3=["body"])
+    full, full_exp = edismax(fr, **kwargs)
+    full2, _ = edismax(fr, ps2=1, **kwargs)
+    monkeypatch.setattr(solr_mod, "PHASE_SUBSET_MIN_DOCS", 0)
+    monkeypatch.setattr(solr_mod, "PHASE_SUBSET_MAX_FRAC", 1)
+    sub, sub_exp = edismax(fr, **kwargs)
+    assert sub_exp == full_exp
+    np.testing.assert_allclose(sub, full, rtol=1e-6, atol=1e-6)
+    # and with slop phases (ps2 keeps that phase full-corpus internally)
+    sub2, _ = edismax(fr, ps2=1, **kwargs)
+    np.testing.assert_allclose(sub2, full2, rtol=1e-6, atol=1e-6)
