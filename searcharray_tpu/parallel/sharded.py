@@ -235,19 +235,40 @@ class ShardedIndex:
                            k1: float = 1.2, b: float = 0.75):
         """Mixed term/phrase batch -> f32[Q, N] device array (sharded).
 
-        The sharded counterpart of batch.score_batch_fused(as_device=True):
-        term queries run as one shard_map program; phrases dispatch the
-        per-shard chain per query.  edismax composes on top of this
-        transparently (solr.py), so the full query DSL runs on a mesh.
+        The sharded counterpart of batch.score_batch_fused(as_device=True),
+        running the SAME dense block-layout engine per shard: queries are
+        deduped and grouped by structure (all terms in one shard_map
+        program; phrases by (length, plan, pattern, bucket) — each group
+        one shard_map program with a vmapped query axis and the in-program
+        dense chain).  Dispatch count therefore matches the single-chip
+        driver's group count instead of the query count.  edismax composes
+        on top of this transparently (solr.py), so the full query DSL runs
+        on a mesh.
         """
         import jax.numpy as jnp
 
+        from searcharray_tpu.search.phrase import _plan
         from searcharray_tpu.search.scoring import host_idf
+
+        # dedup identical queries (serving batches repeat hot queries)
+        keymap: dict = {}
+        uniq: list = []
+        expand: list = []
+        for tids in queries_tids:
+            kq = None if tids is None else tuple(tids)
+            uid = keymap.get(kq)
+            if uid is None:
+                uid = len(uniq)
+                keymap[kq] = uid
+                uniq.append(tids)
+            expand.append(uid)
+        queries_tids = uniq
 
         Q = len(queries_tids)
         N = self.corpus_size
         out = jnp.zeros((Q, N), jnp.float32)
         term_rows: list = []
+        groups: dict = {}
         for qi, tids in enumerate(queries_tids):
             if tids is None or len(tids) == 0 or any(t < 0 for t in tids):
                 continue
@@ -255,19 +276,69 @@ class ShardedIndex:
             idf = host_idf(kind, dfs, N, self.avg_doc_length)
             if len(tids) == 1:
                 term_rows.append((qi, tids[0], idf))
-            else:
-                if min(int(self._host_lengths[:, t].sum()) for t in tids) == 0:
-                    continue
-                ph = self._phrase_tids(tids, kind=kind, k1=k1, b=b,
-                                       idf=float(idf))
-                out = out.at[qi].set(ph)
+                continue
+            lengths = [int(self._host_lengths[:, t].sum()) for t in tids]
+            if min(lengths) == 0:
+                continue
+            split = int(np.argmin(lengths))
+            plan_key = tuple(
+                (d, tuple(idxs)) for d, idxs in _plan(len(tids), split))
+            pattern = tuple(tids.index(t) for t in tids)
+            bucket = bucket_of(int(max(
+                self._host_lengths[:, t].max(initial=1) for t in tids)))
+            gkey = (len(tids), plan_key, pattern, bucket)
+            groups.setdefault(gkey, []).append((qi, tids, idf))
+        for gkey, rows in groups.items():
+            T, plan_key, pattern, bucket = gkey
+            # cap the group's in-program dense planes ([Qg, T, NS_shard])
+            S_blk = 1 << self.blk_bits
+            max_chunk = max(1, (1 << 27) // max(
+                1, T * self.max_shard_docs * S_blk))
+            for c0 in range(0, len(rows), max_chunk):
+                chunk = rows[c0: c0 + max_chunk]
+                scores = self._phrase_group(gkey, chunk, kind, k1, b)
+                qidx = np.asarray([qi for qi, _, _ in chunk], np.int64)
+                out = out.at[jnp.asarray(qidx)].set(scores)
         if term_rows:
             tids_np = np.asarray([t for _, t, _ in term_rows], np.int64)
             idfs_np = np.asarray([i for _, _, i in term_rows], np.float32)
             scores = self._score_terms(tids_np, idfs_np, kind, k1, b)
             qidx = np.asarray([qi for qi, _, _ in term_rows], np.int64)
             out = out.at[jnp.asarray(qidx)].set(scores)
+        if len(expand) != Q:
+            out = jnp.take(out, jnp.asarray(np.asarray(expand, np.int64)),
+                           axis=0)
         return out
+
+    def _phrase_group(self, gkey, chunk, kind: str, k1: float, b: float):
+        """One shard_map program for a [Qg, T] phrase group: per-shard
+        dense block-layout planes (scatter-expanded in-program) + the
+        elementwise chain — the dense engine's math on every chip."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        T, plan_key, pattern, bucket = gkey
+        qaxis = self.mesh.shape["queries"]
+        Qg = len(chunk)
+        Qp = -(-Qg // qaxis) * qaxis
+        S = self.num_shards
+        offs = np.zeros((S, Qp, T), np.int64)
+        ns = np.zeros((S, Qp, T), np.int64)
+        idfs = np.zeros(Qp, np.float32)
+        offsets_h = np.asarray(self.offsets)
+        for r, (qi, tids, idf) in enumerate(chunk):
+            idfs[r] = idf
+            offs[:, r, :] = offsets_h[:, tids]
+            ns[:, r, :] = self._host_lengths[:, tids]
+        fn = _sharded_phrase_group_fn(self, T, plan_key, pattern, bucket,
+                                      Qp, kind, k1, b)
+        shq = NamedSharding(self.mesh, P("docs", "queries", None))
+        offs_d = jax.device_put(offs, shq)
+        ns_d = jax.device_put(ns, shq)
+        idfs_d = jax.device_put(idfs,
+                                NamedSharding(self.mesh, P("queries")))
+        return fn(self.hdrs, self.pays, self.doc_lens, offs_d, ns_d,
+                  idfs_d)[:Qg]
 
     def _score_terms(self, tids_np: np.ndarray, idfs_np: np.ndarray,
                      kind: str, k1: float, b: float):
@@ -445,6 +516,79 @@ def _sharded_span_fn(idx: ShardedIndex, buckets, mults, anchor_i, n_terms,
 
 
 _phrase_shard_cache: dict = {}
+
+
+def _sharded_phrase_group_fn(idx: ShardedIndex, T: int, plan_key, pattern,
+                             bucket: int, Qp: int, kind: str, k1: float,
+                             b: float):
+    """shard_map program for a phrase group: [S, Qp, T] slice specs ->
+    f32[Qp, N] scores.  Each chip scatter-expands its local term slices
+    into dense block-layout planes and runs the elementwise chain
+    (search/dense.py math) vmapped over its query sub-axis; queries are
+    sharded over the mesh's ``queries`` axis, docs over ``docs``."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    key = ("pgroup", idx.corpus_size, idx.max_shard_docs, idx.blk_bits,
+           idx.num_shards, float(idx.avg_doc_length), T, plan_key, pattern,
+           bucket, Qp, kind, k1, b)
+    fn = _phrase_shard_cache.get(key)
+    if fn is not None:
+        return fn
+
+    from searcharray_tpu.ops import kernels as K
+    from searcharray_tpu.search.dense import phrase_counts_dense_planes
+    from searcharray_tpu.search.scoring import apply_similarity_device
+
+    N_shard = idx.max_shard_docs
+    blk_bits = idx.blk_bits
+    S_blk = 1 << blk_bits
+    NS_shard = N_shard * S_blk
+    avgdl = np.float32(max(idx.avg_doc_length, 1e-38))
+    plan = [(d, list(idxs)) for d, idxs in plan_key]
+    pattern_l = list(pattern)
+
+    def local(hdr_s, pay_s, doc_lens_s, offs_q, ns_q, idfs_q):
+        hdr_s, pay_s, doc_lens_s = hdr_s[0], pay_s[0], doc_lens_s[0]
+        offs_q, ns_q = offs_q[0], ns_q[0]
+
+        def one_query(offs, ns):
+            planes = []
+            for i in range(T):
+                h, p = K.take_term_planes(hdr_s, pay_s, offs[i], ns[i],
+                                          bucket=bucket, blk_bits=blk_bits)
+                planes.append(
+                    jnp.zeros(NS_shard, jnp.uint32).at[h].set(
+                        p, mode="drop", unique_indices=True,
+                        indices_are_sorted=True))
+            return phrase_counts_dense_planes(planes, pattern_l, plan,
+                                              N_shard, S_blk)
+
+        freqs = jax.vmap(one_query)(offs_q, ns_q)  # [Qq, N_shard]
+        out = apply_similarity_device(kind, freqs, doc_lens_s[None, :],
+                                      idfs_q[:, None], avgdl, k1, b)
+        return out[None]
+
+    mapped = jax.shard_map(
+        local,
+        mesh=idx.mesh,
+        in_specs=(P("docs", None), P("docs", None), P("docs", None),
+                  P("docs", "queries", None), P("docs", "queries", None),
+                  P("queries")),
+        out_specs=P("docs", "queries", None),
+    )
+
+    num_real = idx.corpus_size
+
+    @jax.jit
+    def run(hdrs, pays, doc_lens, offs, ns, idfs):
+        out = mapped(hdrs, pays, doc_lens, offs, ns, idfs)
+        out = jnp.moveaxis(out, 0, 1)  # [S, Qp, N_shard] -> [Qp, S, N_shard]
+        return out.reshape(out.shape[0], -1)[:, :num_real]
+
+    _phrase_shard_cache[key] = run
+    return run
 
 
 def _sharded_phrase_fn(idx: ShardedIndex, buckets, tids_key, split,

@@ -163,3 +163,39 @@ def test_topk_fn_matches_host_argsort(sharded, single):
                                    rtol=1e-6)
         np.testing.assert_allclose(host[qi][np.asarray(idx)[qi]],
                                    host[qi][order], rtol=1e-6)
+
+
+def test_sharded_batch_groups_one_program_per_shape(corpus, single):
+    """A mixed batch must run grouped shard_map programs (one per query
+    structure, not one per query) and match the single-chip engine."""
+    from searcharray_tpu.parallel import sharded as sharded_mod
+
+    arr = SearchArray.index(corpus, mesh=default_mesh())
+    queries = (
+        [["alpha", "beta"], ["gamma", "delta"], ["eps", "zeta"]] * 3
+        + [["alpha", "beta", "gamma"]]
+        + ["alpha", "beta", "missingterm"]
+    )
+    before = {k for k in sharded_mod._phrase_shard_cache if k[0] == "pgroup"}
+    got = arr.score_batch(queries)
+    after = {k for k in sharded_mod._phrase_shard_cache if k[0] == "pgroup"}
+    # 9 bigrams share ONE program; the trigram adds one more
+    assert len(after - before) == 2
+    sarr = SearchArray.index(corpus)
+    for i, q in enumerate(queries):
+        np.testing.assert_allclose(got[i], np.asarray(sarr.score(q)),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(q))
+    scores, idx = arr.score_batch(queries, top_k=5)
+    dense = np.stack([np.asarray(sarr.score(q)) for q in queries])
+    np.testing.assert_allclose(
+        scores, np.sort(dense, axis=1)[:, ::-1][:, :5], rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_batch_same_term_phrase(corpus, single):
+    arr = SearchArray.index(corpus, mesh=default_mesh())
+    sarr = SearchArray.index(corpus)
+    queries = [["eta", "eta"], ["alpha", "alpha", "beta"]]
+    got = arr.score_batch(queries)
+    for i, q in enumerate(queries):
+        np.testing.assert_allclose(got[i], np.asarray(sarr.score(q)),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(q))
