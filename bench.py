@@ -3,34 +3,53 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N}
 
-Workload: 100k synthetic passages with a zipfian vocabulary calibrated to
-MSMARCO passage statistics (~56 tokens/doc), scored corpus-wide per query —
-the same work the reference does in its MSMARCO benchmark
-(`/root/reference/test/test_msmarco.py`).  The query mix mirrors the
-reference's dev-log phrase suite ("what is", "what is the", "star trek",
-...): frequent-frequent bigrams, frequent trigrams and rare bigrams, plus
-single-term BM25 queries.
+Workload: synthetic passages with a zipfian vocabulary calibrated to
+MSMARCO passage statistics (~56 tokens/doc), scored corpus-wide per query
+— the same work the reference does in its MSMARCO benchmark tiers
+(`/root/reference/test/test_msmarco.py:171-275`: 100k / 1M / full 8.8M).
+The query mix mirrors the reference's dev-log phrase suite ("what is",
+"what is the", "star trek", ...): frequent-frequent bigrams, frequent
+trigrams and rare bigrams, plus single-term BM25 queries and (serving
+mix) slop phrases.
+
+Scales (reproducible, one command each — VERDICT round 2 item 2):
+  python bench.py                       # 100k (the driver's default)
+  python bench.py --docs 1m  --save .bench_cache
+  python bench.py --docs 8.8m --save .bench_cache
+--save/--load build the index once into a versioned on-disk store
+(index/store.py) and reuse it, so the 8.8M tier doesn't rebuild per run.
 
 Baseline: the reference's recorded mean phrase latency on 100k docs is
 1.026 s/query (BASELINE.md, test_msmarco.py:212-218) => 0.975 qps.
-vs_baseline is our mixed-workload qps divided by that.
+vs_baseline divides our mixed-workload qps by that, scaled by corpus
+size relative to 100k (the reference's phrase scan is linear in docs).
 """
+import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-BASELINE_QPS = 0.975  # 1 / mean(reference phrase latencies on 100k docs)
-N_DOCS = 100_000
+BASELINE_QPS_100K = 0.975  # 1 / mean(reference phrase latencies, 100k docs)
+
+SCALES = {
+    "100k": 100_000,
+    "1m": 1_000_000,
+    "8.8m": 8_841_823,  # full MSMARCO passage count
+}
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_corpus(n_docs=N_DOCS, seed=42):
-    """Zipfian corpus: ~30k vocab, ~56 tokens/doc (MSMARCO passage-like)."""
+def build_corpus(n_docs, seed=42):
+    """Zipfian corpus: ~30k vocab, ~56 tokens/doc (MSMARCO passage-like).
+
+    Deterministic per (n_docs, seed) so a cached index and a fresh build
+    serve identical postings."""
     rng = np.random.default_rng(seed)
     v = 30_000
     vocab = np.array(
@@ -40,46 +59,103 @@ def build_corpus(n_docs=N_DOCS, seed=42):
     probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.07
     probs /= probs.sum()
     lens = rng.integers(20, 90, size=n_docs)
-    toks = rng.choice(len(vocab), size=int(lens.sum()), p=probs)
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    toks = rng.choice(len(vocab), size=int(bounds[-1]), p=probs)
     words = vocab[toks]
     out = []
-    pos = 0
-    for L in lens:
-        out.append(" ".join(words[pos : pos + L]))
-        pos += L
+    t0 = time.perf_counter()
+    for d in range(n_docs):
+        out.append(" ".join(words[bounds[d]: bounds[d + 1]]))
+        if d and d % 2_000_000 == 0:
+            log(f"  corpus gen: {d}/{n_docs} docs "
+                f"({time.perf_counter() - t0:.0f}s)")
     return out
 
 
-def main():
-    t0 = time.perf_counter()
-    corpus = build_corpus()
-    log(f"corpus built in {time.perf_counter() - t0:.1f}s")
+def cache_dir(base, scale_key):
+    return os.path.join(base, f"msmarco-synth-{scale_key}-v1")
 
+
+def get_index(scale_key, n_docs, save_base, load_base):
     from searcharray_tpu import SearchArray
+    from searcharray_tpu.index.store import load_index, save_index
 
+    for base in (load_base, save_base):
+        if base:
+            d = cache_dir(base, scale_key)
+            if os.path.exists(os.path.join(d, "index.json")):
+                t0 = time.perf_counter()
+                built = load_index(d)
+                docs = SearchArray([])
+                docs._attach(built)
+                log(f"index loaded from {d} in "
+                    f"{time.perf_counter() - t0:.1f}s")
+                return docs, 0.0
+    t0 = time.perf_counter()
+    corpus = build_corpus(n_docs)
+    log(f"corpus built in {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     docs = SearchArray.index(corpus, autowarm=False)
     build_s = time.perf_counter() - t0
     log(f"index build: {build_s:.2f}s  ({docs.nbytes / 1e6:.1f} MB host)")
+    if save_base:
+        d = cache_dir(save_base, scale_key)
+        t0 = time.perf_counter()
+        save_index(docs._built, d)
+        log(f"index saved to {d} in {time.perf_counter() - t0:.1f}s")
+    return docs, build_s
 
-    term_queries = ["what", "star", "purpose", "w17", "w333", "w4095"]
-    phrase_queries = [
-        ["what", "is"],
-        ["what", "is", "the"],
+
+TERM_QUERIES = ["what", "star", "purpose", "w17", "w333", "w4095"]
+PHRASE_QUERIES = [
+    ["what", "is"],
+    ["what", "is", "the"],
+    ["what", "is", "the", "purpose"],
+    ["what", "is", "the", "purpose", "of"],
+    ["star", "trek"],
+    ["the", "of"],
+]
+
+
+def serving_batch(i):
+    """12 queries: hot stopword phrases + a varied rare tail."""
+    t = lambda k: f"w{(37 * i + k) % 29000}"  # noqa: E731
+    return [
+        "what", "star", "purpose", t(17), t(333), t(4095),
+        ["what", "is"], ["what", "is", "the"],
         ["what", "is", "the", "purpose"],
         ["what", "is", "the", "purpose", "of"],
-        ["star", "trek"],
-        ["the", "of"],
+        ["star", "trek"], [t(5), t(6)],
     ]
 
-    # warmup (compile)
-    for q in term_queries:
-        docs.score(q)
-    for q in phrase_queries:
-        docs.score(q)
-    log("warmup done")
 
-    mixed = list(term_queries) + list(phrase_queries)
+def serving_queries(i):
+    out = []
+    for v in range(10):
+        out += serving_batch(10 * i + v)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", choices=sorted(SCALES), default="100k")
+    ap.add_argument("--save", metavar="DIR", default=None,
+                    help="build-once cache dir (also used for loading)")
+    ap.add_argument("--load", metavar="DIR", default=None,
+                    help="load a previously saved index")
+    args = ap.parse_args()
+    n_docs = SCALES[args.docs]
+
+    docs, _build_s = get_index(args.docs, n_docs, args.save, args.load)
+    assert len(docs) == n_docs
+
+    mixed = list(TERM_QUERIES) + list(PHRASE_QUERIES)
+
+    # warmup (compile)
+    t0 = time.perf_counter()
+    for q in mixed:
+        docs.score(q)
+    log(f"single-query warmup done ({time.perf_counter() - t0:.1f}s)")
 
     reps = 5
     t0 = time.perf_counter()
@@ -92,17 +168,22 @@ def main():
     seq_qps = n_q / (time.perf_counter() - t0)
     log(f"sequential: {n_q} queries -> {seq_qps:.2f} qps")
 
-    docs.score_batch(mixed)  # warm the pipelined path
-    reps = 10
-    t0 = time.perf_counter()
-    n_q = 0
-    for _ in range(reps):
-        out = docs.score_batch(mixed)
-        n_q += len(mixed)
-    elapsed = time.perf_counter() - t0
-    dense_qps = n_q / elapsed
-    log(f"batched dense: {n_q} queries in {elapsed:.2f}s -> {dense_qps:.2f} qps")
-    assert out.shape == (len(mixed), N_DOCS)
+    results = {"sequential": seq_qps}
+
+    if n_docs <= SCALES["1m"]:
+        # full dense [Q, N] matrices cross the tunnel here — at 8.8M that
+        # is ~400 MB per batch of transfer, not a serving shape; skip it
+        docs.score_batch(mixed)  # warm the batched path
+        reps = 10
+        t0 = time.perf_counter()
+        n_q = 0
+        for _ in range(reps):
+            out = docs.score_batch(mixed)
+            n_q += len(mixed)
+        dense_qps = n_q / (time.perf_counter() - t0)
+        log(f"batched dense: {n_q} queries -> {dense_qps:.2f} qps")
+        assert out.shape == (len(mixed), n_docs)
+        results["batched_dense"] = dense_qps
 
     # Ranked retrieval: corpus-wide scoring + device-side top-10 per query
     # (the dense vectors never leave HBM) — the serving workload.
@@ -113,32 +194,17 @@ def main():
     for _ in range(reps):
         scores, idx = docs.score_batch(mixed, top_k=10)
         n_q += len(mixed)
-    elapsed = time.perf_counter() - t0
-    topk_qps = n_q / elapsed
-    log(f"batched top-10: {n_q} queries in {elapsed:.2f}s -> {topk_qps:.2f} qps")
+    topk_qps = n_q / (time.perf_counter() - t0)
+    log(f"batched top-10: {n_q} queries -> {topk_qps:.2f} qps")
     assert scores.shape == (len(mixed), 10)
+    results["batched_topk"] = topk_qps
 
-    # Serving batches: 120 distinct queries per request (hot stopword
-    # phrases + a long tail of varied rare terms/bigrams), top-10 each.
-    # Each rep uses a different variant set so term caches are exercised
-    # the way a live tail would, not memorized.
-    def serving_batch(i):
-        t = lambda k: f"w{(37 * i + k) % 29000}"  # noqa: E731
-        return [
-            "what", "star", "purpose", t(17), t(333), t(4095),
-            ["what", "is"], ["what", "is", "the"],
-            ["what", "is", "the", "purpose"],
-            ["what", "is", "the", "purpose", "of"],
-            ["star", "trek"], [t(5), t(6)],
-        ]
-
-    def serving_queries(i):
-        out = []
-        for v in range(10):
-            out += serving_batch(10 * i + v)
-        return out
-
-    docs.score_batch(serving_queries(99), top_k=10)  # warm kernel shapes
+    # Serving batches: 120 queries per request (hot stopword phrases + a
+    # long tail of varied rare terms/bigrams), top-10 each.  Each rep uses
+    # a different variant set so term caches are exercised the way a live
+    # tail would, not memorized.
+    log("warming serving shapes...")
+    docs.score_batch(serving_queries(99), top_k=10)
     reps = 20
     t0 = time.perf_counter()
     n_q = 0
@@ -146,11 +212,10 @@ def main():
         batch = serving_queries(r)
         scores, idx = docs.score_batch(batch, top_k=10)
         n_q += len(batch)
-    elapsed = time.perf_counter() - t0
-    serving_qps = n_q / elapsed
-    log(f"serving 120-query batches: {n_q} queries in {elapsed:.2f}s -> "
-        f"{serving_qps:.2f} qps")
+    serving_qps = n_q / (time.perf_counter() - t0)
+    log(f"serving 120-query batches: {n_q} queries -> {serving_qps:.2f} qps")
     assert scores.shape == (120, 10)
+    results["serving"] = serving_qps
 
     # Pipelined serving: submit every batch (block=False), then collect —
     # the per-batch device-to-host round trip overlaps the next batches'
@@ -164,22 +229,32 @@ def main():
         batch = serving_queries(1000 + r)
         handles.append(docs.score_batch(batch, top_k=10, block=False))
         n_q += len(batch)
-    results = [h() for h in handles]
-    elapsed = time.perf_counter() - t0
-    pipe_qps = n_q / elapsed
-    log(f"pipelined serving: {n_q} queries in {elapsed:.2f}s -> "
-        f"{pipe_qps:.2f} qps")
-    assert results[-1][0].shape == (120, 10)
+    out = [h() for h in handles]
+    pipe_qps = n_q / (time.perf_counter() - t0)
+    log(f"pipelined serving: {n_q} queries -> {pipe_qps:.2f} qps")
+    assert out[-1][0].shape == (120, 10)
+    results["pipelined"] = pipe_qps
 
-    qps = max(dense_qps, topk_qps, seq_qps, serving_qps, pipe_qps)
+    qps = max(results.values())
+    # the reference's phrase scan is linear in corpus size: its 100k-doc
+    # qps scales down by n_docs/100k for the bigger tiers
+    baseline = BASELINE_QPS_100K * (SCALES["100k"] / n_docs)
+    log("modes: " + json.dumps({k: round(v, 2)
+                                for k, v in results.items()}))
 
     print(
         json.dumps(
             {
-                "metric": "MSMARCO-100k-synthetic term+phrase BM25 queries/sec/chip",
+                "metric": (f"MSMARCO-{args.docs}-synthetic term+phrase "
+                           "BM25 queries/sec/chip"),
                 "value": round(qps, 3),
                 "unit": "qps",
-                "vs_baseline": round(qps / BASELINE_QPS, 2),
+                "vs_baseline": round(qps / baseline, 2),
+                # dev-log baseline is a 2023 laptop; this host's core is
+                # ~10x it (BASELINE.md calibration) — the honest multiple
+                "vs_baseline_calibrated": round(qps / (baseline * 10), 2),
+                "single_query_ms": round(1000.0 / seq_qps, 2),
+                "modes_qps": {k: round(v, 1) for k, v in results.items()},
             }
         )
     )
