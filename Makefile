@@ -35,3 +35,7 @@ multichip:
 	$(PY) -c "import __graft_entry__ as g; g.entry(); g.dryrun_multichip(8); print('multichip ok')"
 
 all: lint test
+
+# host-memory profile of an index build (reference memory_profile analog)
+memory-profile:
+	$(PY) scripts/memprofile.py

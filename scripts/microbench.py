@@ -122,10 +122,14 @@ def bench_all():
         dense_mod.ensure_batch(docs.dev, plane_tids=tids, tf_tids=tids)
         return docs.dev.plane_pool
 
-    # warm compile with one shape, then time fresh-term fills
-    fill_fresh(0)
+    # warm EVERY fill-program shape this term range can mint (the fill
+    # program is keyed by the batch's bucket mix; timing must see steady
+    # state, not 30s first compiles)
+    for i in range(12):
+        fill_fresh(i)
+    _force(docs.dev.plane_pool)
     t0 = time.perf_counter()
-    for i in range(1, 6):
+    for i in range(12, 17):
         out = fill_fresh(i)
     _force(out)
     results["pool_fill_16x2_ms"] = (time.perf_counter() - t0) / 5 * 1e3

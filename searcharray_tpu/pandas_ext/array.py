@@ -316,6 +316,17 @@ class SearchArray(ExtensionArray):
             dense_mod.ensure_batch(self.dev, plane_tids=plane_hot,
                                    tf_tids=tf_hot)
 
+    def warm_serving(self, **kwargs) -> int:
+        """Precompile the full serving program set for this index (AOT):
+        every term/phrase/slop group shape the batch driver can mint for
+        this corpus, into the persistent XLA compile cache — so a fresh
+        process's first live query compiles nothing.  See
+        utils/warm.py:warm_serving for knobs; returns the number of warm
+        queries issued."""
+        from searcharray_tpu.utils.warm import warm_serving as _ws
+
+        return _ws(self, **kwargs)
+
     @classmethod
     def _from_sequence(cls, scalars, *, dtype=None, copy=False):
         if dtype is not None and not isinstance(dtype, TermsDtype):
@@ -719,12 +730,12 @@ class SearchArray(ExtensionArray):
         full_view = not self.subset and len(self.rows) == self.corpus_size
         # validate block=False BEFORE any early return: a non-fused
         # similarity must raise here, not silently return a blocking tuple
-        if not block and not (fused is not None and slop == 0
-                              and top_k is not None and full_view
+        if not block and not (fused is not None and top_k is not None
+                              and full_view
                               and self._state.sharded is None):
             raise ValueError(
-                "block=False requires top_k, exact-match queries, a fused "
-                "similarity, a full un-sliced view, and a single chip")
+                "block=False requires top_k, a fused similarity, a full "
+                "un-sliced view, and a single chip")
         if fused is None:
             dense = np.stack(
                 [self.score(q, similarity=similarity, slop=slop)
@@ -773,7 +784,23 @@ class SearchArray(ExtensionArray):
                 idx = np.argsort(dense, axis=1)[:, ::-1][:, :top_k]
                 return np.take_along_axis(dense, idx, axis=1), idx
             return dense
-        # slop queries: pipelined per-query dispatches
+        # slop queries: grouped span kernels (one program per
+        # (terms, anchor, window, multiplicity) shape, search/batch.py)
+        if full_view and self._state.sharded is None:
+            kind, k1, b = fused
+            qtids = []
+            for q in queries:
+                q = self._check_token_arg(q)
+                qtids.append(self._resolve_tids(
+                    [q] if isinstance(q, str) else q))
+            if top_k is not None:
+                k = min(top_k, len(self))
+                return batch_mod.score_batch_fused(
+                    self.dev, qtids, kind, k1, b, top_k=k, slop=slop,
+                    defer=not block)
+            return batch_mod.score_batch_fused(self.dev, qtids, kind, k1,
+                                               b, slop=slop)
+        # sharded / sliced views: per-query dispatches
         pending = [
             self._score_fused(self._check_token_arg(q), fused, slop,
                               None, None)
@@ -858,6 +885,14 @@ class SearchArray(ExtensionArray):
                         pending.append(sharded.span_freqs(
                             q, slop, k1=k1, b=b, kind=kind))
                 return jnp.stack(pending)
+            if sharded is None and full_view:
+                qtids = []
+                for q in queries:
+                    q = self._check_token_arg(q)
+                    qtids.append(self._resolve_tids(
+                        [q] if isinstance(q, str) else q))
+                return batch_mod.score_batch_fused(
+                    self.dev, qtids, kind, k1, b, as_device=True, slop=slop)
             pending = [
                 self._score_fused(self._check_token_arg(q), fused, slop,
                                   None, None)
@@ -900,7 +935,14 @@ class SearchArray(ExtensionArray):
 
         k = min(k, len(self))
         fused = getattr(similarity, "_fused", None)
-        if fused is not None and not self.subset and len(self.rows) == self.corpus_size:
+        full_view = not self.subset and len(self.rows) == self.corpus_size
+        if fused is not None and full_view:
+            if self._state.sharded is None:
+                # batched driver: candidate-subset routing + fused packing
+                scores, idx = self.score_batch([token],
+                                               similarity=similarity,
+                                               slop=slop, top_k=k)
+                return scores[0], idx[0]
             dense = self._score_fused(self._check_token_arg(token), fused,
                                       slop, None, None)
             if not isinstance(dense, np.ndarray):

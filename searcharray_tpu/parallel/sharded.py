@@ -210,22 +210,27 @@ class ShardedIndex:
 
         num_real = self.corpus_size
         full = self.num_shards * N_shard
+        qaxis = self.mesh.shape["queries"]
 
         @jax.jit
         def run(dense):
             # pad the doc axis back to S*N_shard and reshape to
             # [Q, S, N_shard] so the doc shards map to a mesh axis;
-            # candidates are [Q, S, kl] -> [Q, S*kl] (small)
+            # candidates are [Q, S, kl] -> [Q, S*kl] (small).  The query
+            # axis pads to a queries-mesh-axis multiple (shard_map needs
+            # even division) and slices back after the combine.
             Q = dense.shape[0]
-            if full != num_real:
-                dense = jnp.pad(dense, ((0, 0), (0, full - num_real)),
+            Qp = -(-Q // qaxis) * qaxis
+            if full != num_real or Qp != Q:
+                dense = jnp.pad(dense,
+                                ((0, Qp - Q), (0, full - num_real)),
                                 constant_values=-jnp.inf)
-            d3 = dense.reshape(Q, self.num_shards, N_shard)
+            d3 = dense.reshape(Qp, self.num_shards, N_shard)
             cs, ci = mapped(d3)
-            cs = cs.reshape(Q, -1)
-            ci = ci.reshape(Q, -1)
+            cs = cs.reshape(Qp, -1)
+            ci = ci.reshape(Qp, -1)
             s, j = jax.lax.top_k(cs, k)
-            return s, jnp.take_along_axis(ci, j, axis=1)
+            return s[:Q], jnp.take_along_axis(ci, j, axis=1)[:Q]
 
         _score_cache[key] = run
         return run

@@ -57,8 +57,24 @@ _MAX_FLAT = 1 << 29
 # run one program per spec so XLA cannot overlap the bodies' temporaries
 _SUPER_FUSE_BYTES = 1 << 30
 
+# above this corpus size, every spec runs as its own program even when the
+# wave is small: a fused super-program is keyed by the batch's whole spec
+# mix, and at 8.8M-doc shapes each distinct mix costs MINUTES of XLA
+# compile (measured) — per-spec programs are keyed by one group shape and
+# converge after a handful of batches (warm_serving precompiles them)
+_SUPER_FUSE_MAX_DOCS = 2 << 20
+
 # max sliced posting words per sparse-fallback group program
 _SPARSE_CHUNK_WORDS = 1 << 26
+
+
+def _cand_geom(gkey):
+    """(T, srcs, Kc, rbucket) of a candidate group key (cphrase/cspan)."""
+    if gkey[0] == "cphrase":
+        _, T, _pk, _pat, srcs, Kc, rbucket, _ri = gkey
+    else:  # cspan
+        _, T, _ai, _w, _m, srcs, Kc, rbucket, _ri = gkey
+    return T, srcs, Kc, rbucket
 
 
 def _qpad(q: int) -> int:
@@ -73,6 +89,18 @@ def _qpad(q: int) -> int:
     if q <= 6:
         return 6
     return K.bucket_of(q)
+
+
+def _qpad_c(q: int) -> int:
+    """Candidate-group query padding: plain powers of two.
+
+    Candidate bodies cost O(Qp x Kc) — cheap — while every distinct
+    (shape-class, Qp) is a fresh XLA compile, so fewer Qp values beat
+    tighter padding (serving workloads vary group sizes every batch)."""
+    p = 1
+    while p < q:
+        p <<= 1
+    return p
 
 
 def _npad(num_docs: int) -> int:
@@ -239,6 +267,18 @@ def _pack_topk(dense, k: int):
          idx.astype(jnp.int32)], axis=1)
 
 
+def _pack1_fn(dev: DeviceIndex, k: int):
+    """Cached jit packing a single dense [1, N] row to the topk wire."""
+    key = ("pack1", dev.corpus_size, k)
+    fn = _group_cache.get(key)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(lambda d: _pack_topk(d, k))
+        _group_cache[key] = fn
+    return fn
+
+
 def _run_super(dev: DeviceIndex, specs: List[dict], kind: str, k1: float,
                b: float, top_k: Optional[int], rows_dev, avgdl):
     """Run every dense-engine spec of a batch as ONE jitted program.
@@ -279,6 +319,13 @@ def _run_super(dev: DeviceIndex, specs: List[dict], kind: str, k1: float,
                                                 kind, k1, b, top_k, pool,
                                                 slots, doc_lens, idfs,
                                                 avgdl_, rows=rows_)
+                elif gkey[0] == "dspan":
+                    slots, idfs = part
+                    _, T, anchor_i, w, mults = gkey
+                    o = dense.span_group_body(dev, T, anchor_i, w, mults,
+                                              kind, k1, b, top_k, pool,
+                                              slots, doc_lens, idfs,
+                                              avgdl_, rows=rows_)
                 elif gkey[0] == "cterm":
                     offs, ns, idfs = part
                     _, bucket, Kc = gkey
@@ -291,13 +338,27 @@ def _run_super(dev: DeviceIndex, specs: List[dict], kind: str, k1: float,
                                             Npad)
                     if top_k is None:
                         o = o[:, :N]
-                else:  # cphrase
+                elif gkey[0] == "cphrase":
                     r_offs, r_ns, m_offs, m_ns, slots, idfs = part
                     (_, T, plan_key, pattern, srcs, Kc, rbucket,
                      _rarest_i) = gkey
                     freqs, crows = jax.vmap(
                         lambda ro, rn, mo, mn, sl: C.cphrase_body(
                             dev_static, T, plan_key, pattern, srcs, Kc,
+                            rbucket, hdrs, pays, pool, ro, rn, mo, mn, sl)
+                    )(r_offs, r_ns, m_offs, m_ns, slots)
+                    o = C.finish_candidates(freqs, crows, doc_lens, idfs,
+                                            avgdl_, kind, k1, b, top_k, N,
+                                            Npad)
+                    if top_k is None:
+                        o = o[:, :N]
+                else:  # cspan
+                    r_offs, r_ns, m_offs, m_ns, slots, idfs = part
+                    (_, T, anchor_i, w, mults, srcs, Kc, rbucket,
+                     _rarest_i) = gkey
+                    freqs, crows = jax.vmap(
+                        lambda ro, rn, mo, mn, sl: C.cspan_body(
+                            dev_static, T, anchor_i, w, mults, srcs, Kc,
                             rbucket, hdrs, pays, pool, ro, rn, mo, mn, sl)
                     )(r_offs, r_ns, m_offs, m_ns, slots)
                     o = C.finish_candidates(freqs, crows, doc_lens, idfs,
@@ -312,7 +373,7 @@ def _run_super(dev: DeviceIndex, specs: List[dict], kind: str, k1: float,
         _group_cache[key] = fn
     parts = []
     for s in specs:
-        if s["gkey"][0] in ("dterm", "dphrase"):
+        if s["gkey"][0] in ("dterm", "dphrase", "dspan"):
             parts.append((s["slots"], s["idfs"]))
         elif s["gkey"][0] == "cterm":
             parts.append((s["offs"][:, 0], s["ns"][:, 0], s["idfs"]))
@@ -328,12 +389,19 @@ def _run_super(dev: DeviceIndex, specs: List[dict], kind: str, k1: float,
 # ---------------------------------------------------------------------------
 def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
               kind: str, top_k: Optional[int] = None,
-              allow_candidates: bool = False):
+              allow_candidates: bool = False, slop: int = 0):
     """Split queries into structure groups.
 
-    Returns (groups, zero_rows): groups maps a structural key to a list of
-    (query_index, offs[T], ns[T], idf, tids); zero_rows are queries that
-    score all-zero (missing term / empty posting) host-side.
+    Returns (groups, zero_rows, fallback): groups maps a structural key to
+    a list of (query_index, offs[T], ns[T], idf, tids); zero_rows are
+    queries that score all-zero (missing term / empty posting) host-side;
+    fallback are (qi, tids, idf) slop queries the grouped kernels cannot
+    take (wide windows, multiplicity > 2) — the driver dispatches those
+    through the per-query span kernel.
+
+    With ``slop`` > 0, multi-term queries are slop-phrase groups
+    ("dspan" on pooled planes / "cspan" on candidate rows), keyed by
+    (unique-term count, anchor, window, multiplicities).
 
     Routing: with the dense block layout available (search/dense.py) term
     queries use cached tf vectors ("dterm") and exact phrases the
@@ -350,6 +418,7 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
     dense_ok = dense.dense_eligible(dev)
     groups: dict = {}
     zero_rows: List[int] = []
+    fallback: List[tuple] = []
     for qi, tids in enumerate(queries_tids):
         if tids is None or len(tids) == 0 or any(t < 0 for t in tids):
             zero_rows.append(qi)
@@ -358,6 +427,43 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
         idf = host_idf(kind, dfs, dev.corpus_size, dev.avg_doc_length)
         spans = [dev.term_span(t) for t in tids]
         lengths = [s[1] for s in spans]
+        if slop > 0 and len(tids) > 1:
+            if min(lengths) == 0:
+                zero_rows.append(qi)
+                continue
+            uniq: List[int] = []
+            mults: List[int] = []
+            for t in tids:
+                if t in uniq:
+                    mults[uniq.index(t)] += 1
+                else:
+                    uniq.append(t)
+                    mults.append(1)
+            u_spans = [dev.term_span(t) for t in uniq]
+            u_lens = [s[1] for s in u_spans]
+            u_dfs = [int(dev.doc_freqs[t]) for t in uniq]
+            anchor_i = int(np.argmin(u_lens))
+            w = len(tids) + slop - 1
+            mkey = tuple(mults)
+            if not (w <= LSB_BITS and max(mults) <= 2):
+                fallback.append((qi, tids, idf))
+                continue
+            if allow_candidates and C.eligible_phrase(dev, uniq, top_k):
+                rarest_i = int(np.argmin(u_dfs))
+                srcs = tuple(C.term_source(dev, u_lens[i])
+                             for i in range(len(uniq)))
+                gkey = ("cspan", len(uniq), anchor_i, w, mkey, srcs,
+                        C.kc_bucket(u_dfs[rarest_i]),
+                        K.expand_bucket_of(u_lens[rarest_i]), rarest_i)
+            elif dense_ok and dense.phrase_fits_pool(dev, uniq):
+                gkey = ("dspan", len(uniq), anchor_i, w, mkey)
+            else:
+                fallback.append((qi, tids, idf))
+                continue
+            row = (qi, np.asarray([s[0] for s in u_spans], np.int32),
+                   np.asarray(u_lens, np.int32), idf, uniq)
+            groups.setdefault(gkey, []).append(row)
+            continue
         if len(tids) == 1:
             if allow_candidates and lengths[0] > 0 and C.eligible_term(
                     dev, dfs[0], top_k):
@@ -396,7 +502,7 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
             row = (qi, np.asarray([s[0] for s in spans], np.int32),
                    np.asarray(lengths, np.int32), idf, tids)
         groups.setdefault(gkey, []).append(row)
-    return groups, zero_rows
+    return groups, zero_rows, fallback
 
 
 def score_batch_fused(dev: DeviceIndex,
@@ -404,12 +510,16 @@ def score_batch_fused(dev: DeviceIndex,
                       kind: str = "bm25", k1: float = 1.2, b: float = 0.75,
                       top_k: Optional[int] = None,
                       rows: Optional[np.ndarray] = None,
-                      as_device: bool = False, defer: bool = False):
+                      as_device: bool = False, defer: bool = False,
+                      slop: int = 0):
     """Score a batch of resolved term-id queries in one program per group.
 
     ``queries_tids[i]`` is the list of term ids for query i (`-1` entries
     mark vocabulary misses, making the whole query score zero — parity
     with the single-query facade), or None for an unresolvable query.
+    With ``slop`` > 0 multi-term queries are slop phrases, grouped by
+    (unique terms, anchor, window, multiplicities); queries the grouped
+    slop kernels cannot take fall back to per-query span dispatches.
 
     With ``rows`` (a candidate doc-id subset), the dense engine gathers
     planes/tf at those rows so compute is proportional to the subset
@@ -448,11 +558,13 @@ def score_batch_fused(dev: DeviceIndex,
 
     Q = len(queries_tids)
     avgdl = np.float32(max(dev.avg_doc_length, 1e-38))
-    groups, zero_rows = _classify(dev, queries_tids, kind, top_k=top_k,
-                                  allow_candidates=rows is None)
+    groups, zero_rows, fb_rows = _classify(
+        dev, queries_tids, kind, top_k=top_k,
+        allow_candidates=rows is None, slop=slop)
     if dev.avg_doc_length == 0:
         zero_rows = list(range(Q))
         groups = {}
+        fb_rows = []
 
     n_out = dev.corpus_size if rows is None else len(rows)
     rows_dev = None
@@ -477,7 +589,7 @@ def score_batch_fused(dev: DeviceIndex,
     # the slots, or a later fill could evict an earlier spec's rows)
     specs: List[dict] = []
     for gkey, grows in groups.items():
-        if gkey[0] == "dphrase":
+        if gkey[0] in ("dphrase", "dspan"):
             # broadcast chain gathers u32[Qp, T, NS]; cap at ~2 GB per
             # program (chain temps add ~2x on top; fits beside the pools
             # at 8.8M) and keep the chunk's terms inside the plane pool
@@ -491,8 +603,8 @@ def score_batch_fused(dev: DeviceIndex,
         elif gkey[0] == "cterm":
             # work per query is one bucketed slice + Kc-sized compaction
             max_chunk = max(1, _SPARSE_CHUNK_WORDS // max(1, gkey[1]))
-        elif gkey[0] == "cphrase":
-            _, T, _pk, _pat, srcs, Kc, rbucket, _ri = gkey
+        elif gkey[0] in ("cphrase", "cspan"):
+            T, srcs, Kc, rbucket = _cand_geom(gkey)
             n_pool = sum(1 for s in srcs if s == "pool")
             mini_words = sum(s for s in srcs if s != "pool") + rbucket
             S = 1 << dev.blk_bits
@@ -511,7 +623,8 @@ def score_batch_fused(dev: DeviceIndex,
         for c0 in range(0, len(grows), max_chunk):
             chunk = grows[c0: c0 + max_chunk]
             Qg = len(chunk)
-            Qp = _qpad(Qg)
+            Qp = (_qpad_c(Qg) if gkey[0] in ("cterm", "cphrase", "cspan")
+                  else _qpad(Qg))
             idfs = np.zeros(Qp, np.float32)
             for r, (qi, o, n, idf, _tids) in enumerate(chunk):
                 idfs[r] = idf
@@ -519,7 +632,7 @@ def score_batch_fused(dev: DeviceIndex,
                     "idfs": idfs}
             if gkey[0] == "dterm":
                 spec["tf_tids"] = [row[4][0] for row in chunk]
-            elif gkey[0] == "dphrase":
+            elif gkey[0] in ("dphrase", "dspan"):
                 spec["plane_tids"] = [t for row in chunk for t in row[4]]
             elif gkey[0] == "cterm":
                 offs = np.zeros((Qp, 1), np.int32)
@@ -527,8 +640,9 @@ def score_batch_fused(dev: DeviceIndex,
                 for r, (qi, o, n, idf, _tids) in enumerate(chunk):
                     offs[r], ns[r] = o, n
                 spec["offs"], spec["ns"] = offs, ns
-            elif gkey[0] == "cphrase":
-                _, T, _pk, _pat, srcs, Kc, rbucket, rarest_i = gkey
+            elif gkey[0] in ("cphrase", "cspan"):
+                T, srcs, Kc, rbucket = _cand_geom(gkey)
+                rarest_i = gkey[-1]
                 pool_is = [i for i in range(T) if srcs[i] == "pool"]
                 mini_is = [i for i in range(T) if srcs[i] != "pool"]
                 r_offs = np.zeros(Qp, np.int32)
@@ -556,8 +670,8 @@ def score_batch_fused(dev: DeviceIndex,
             specs.append(spec)
 
     pending: List[Tuple[list, object]] = []  # (query indices, device out)
-    fused = [s for s in specs
-             if s["gkey"][0] in ("dterm", "dphrase", "cterm", "cphrase")]
+    fused = [s for s in specs if s["gkey"][0] in (
+        "dterm", "dphrase", "dspan", "cterm", "cphrase", "cspan")]
     # canonical spec order: the super program is keyed by the spec-shape
     # tuple, so group arrival order must not mint new programs
     fused.sort(key=lambda s: repr((s["gkey"], s["Qp"])))
@@ -597,7 +711,7 @@ def score_batch_fused(dev: DeviceIndex,
                 slots[:Qg] = dense.tf_slots_of(dev, s["tf_tids"])
                 slots[Qg:] = slots[0]  # pad rows reuse row 0 (idf 0)
                 gather_bytes += Qp * dev.corpus_size * 4
-            elif kind0 == "dphrase":
+            elif kind0 in ("dphrase", "dspan"):
                 T = s["gkey"][1]
                 slots = np.empty((Qp, T), np.int32)
                 slots[:Qg] = dense.plane_slots_of(
@@ -608,8 +722,8 @@ def score_batch_fused(dev: DeviceIndex,
                 _, bucket, Kc = s["gkey"]
                 gather_bytes += Qp * (bucket + Kc) * 8
                 continue
-            else:  # cphrase
-                _, T, _pk, _pat, srcs, Kc, rbucket, _ri = s["gkey"]
+            else:  # cphrase / cspan
+                T, srcs, Kc, rbucket = _cand_geom(s["gkey"])
                 npool = len(s["pool_is"])
                 slots = np.zeros((Qp, npool), np.int32)
                 if npool:
@@ -621,14 +735,17 @@ def score_batch_fused(dev: DeviceIndex,
                 gather_bytes += Qp * (T * Kc * S * 4 + mini_words * 8)
             s["slots"] = slots
         wave_k = None if rows is not None else top_k
-        if gather_bytes <= _SUPER_FUSE_BYTES:
+        if (gather_bytes <= _SUPER_FUSE_BYTES
+                and dev.corpus_size <= _SUPER_FUSE_MAX_DOCS):
             outs = [(_run_super(dev, wave, kind, k1, b, wave_k, rows_dev,
                                 avgdl), wave)]
         else:
-            # huge-corpus waves: fused bodies are independent, so XLA may
-            # overlap their multi-GB temporaries and blow HBM — run one
-            # program per spec instead (stream order keeps one body's
-            # temps live at a time)
+            # huge corpora: one program per spec.  Fused bodies are
+            # independent, so XLA may overlap their multi-GB temporaries
+            # and blow HBM; worse, a fused program is keyed by the whole
+            # batch's spec mix, and at 8.8M shapes each distinct mix costs
+            # MINUTES of compile (measured) — per-spec programs are keyed
+            # by one group shape and reused across every batch
             outs = [(_run_super(dev, [s], kind, k1, b, wave_k, rows_dev,
                                 avgdl), [s]) for s in wave]
         for out, specs_run in outs:
@@ -641,7 +758,8 @@ def score_batch_fused(dev: DeviceIndex,
     for spec in specs:
         gkey, chunk = spec["gkey"], spec["chunk"]
         Qg, Qp, idfs = spec["Qg"], spec["Qp"], spec["idfs"]
-        if gkey[0] in ("dterm", "dphrase", "cterm", "cphrase"):
+        if gkey[0] in ("dterm", "dphrase", "dspan", "cterm", "cphrase",
+                       "cspan"):
             continue
         sp_k = None if rows is not None else top_k
         if gkey[0] == "term":
@@ -662,6 +780,18 @@ def score_batch_fused(dev: DeviceIndex,
         else:
             out = out[:Qg]
         pending.append(([qi for qi, *_ in chunk], out))
+
+    # per-query span fallbacks (wide windows / multiplicity > 2): the
+    # pre-grouping slop execution model, packed to match the group wire
+    # format
+    for qi, tids, idf in fb_rows:
+        from searcharray_tpu.search import spans as spans_mod
+
+        d = jnp.asarray(spans_mod.span_freqs_dense(
+            dev, tids, slop, kind=kind, k1=k1, b=b, idf=idf))[None]
+        if top_k is not None and rows is None:
+            d = _pack1_fn(dev, top_k)(d)
+        pending.append(([qi], d))
 
     if as_device:
         assert top_k is None, "as_device and top_k are exclusive"

@@ -146,21 +146,15 @@ def cterm_body(dev_static, Kc: int, bucket: int, hdrs, pays, off, n):
     return tf, rows
 
 
-def cphrase_body(dev_static, T: int, plan_key, pattern, srcs, Kc: int,
-                 rarest_bucket: int, hdrs, pays, pool, r_off, r_n,
-                 m_offs, m_ns, slots):
-    """One phrase query: (freqs float32[Kc], rows int32[Kc]).
+def candidate_minis(dev_static, T: int, srcs, Kc: int, rarest_bucket: int,
+                    hdrs, pays, pool, r_off, r_n, m_offs, m_ns, slots):
+    """Build the candidate row table and per-term mini-planes.
 
     ``srcs[i]`` is "pool" (gather Kc*S slots from the pooled plane at
     ``slots[j]``) or a mini bucket (searchsorted-align the raw slice at
     ``m_offs[j]/m_ns[j]``).  j indexes within each source kind in term
-    order."""
+    order.  Returns (minis list of u32[Kc*S], rows int32[Kc])."""
     import jax.numpy as jnp
-
-    from searcharray_tpu.search.dense import (
-        phrase_counts_dense_planes,
-        plane_slots,
-    )
 
     N = dev_static["N"]
     blk_bits = dev_static["blk_bits"]
@@ -195,8 +189,40 @@ def cphrase_body(dev_static, T: int, plan_key, pattern, srcs, Kc: int,
                 jnp.zeros(Kc * S, jnp.uint32).at[sidx].set(
                     p_i, mode="drop"))
             jm += 1
+    return minis, rows
+
+
+def cphrase_body(dev_static, T: int, plan_key, pattern, srcs, Kc: int,
+                 rarest_bucket: int, hdrs, pays, pool, r_off, r_n,
+                 m_offs, m_ns, slots):
+    """One phrase query: (freqs float32[Kc], rows int32[Kc])."""
+    from searcharray_tpu.search.dense import phrase_counts_dense_planes
+
+    S = 1 << dev_static["blk_bits"]
+    minis, rows = candidate_minis(dev_static, T, srcs, Kc, rarest_bucket,
+                                  hdrs, pays, pool, r_off, r_n, m_offs,
+                                  m_ns, slots)
     plan = [(d, list(idxs)) for d, idxs in plan_key]
     freqs = phrase_counts_dense_planes(minis, list(pattern), plan, Kc, S)
+    return freqs, rows
+
+
+def cspan_body(dev_static, T: int, anchor_i: int, w: int, mults, srcs,
+               Kc: int, rarest_bucket: int, hdrs, pays, pool, r_off, r_n,
+               m_offs, m_ns, slots):
+    """One slop query over candidate rows: (freqs f32[Kc], rows i32[Kc]).
+
+    Rows come from the lowest-docfreq term; the anchor (counted) term is
+    the shortest-postings one, matching spans._span_impl.  Sound because
+    every doc with a nonzero span count contains all query terms."""
+    from searcharray_tpu.search.dense import span_counts_dense_planes
+
+    S = 1 << dev_static["blk_bits"]
+    minis, rows = candidate_minis(dev_static, T, srcs, Kc, rarest_bucket,
+                                  hdrs, pays, pool, r_off, r_n, m_offs,
+                                  m_ns, slots)
+    freqs = span_counts_dense_planes(minis, anchor_i, w, Kc, S,
+                                     mults=mults)
     return freqs, rows
 
 

@@ -461,19 +461,41 @@ def _dilate(x, length: int, shifter):
     return y
 
 
+def _win_pair_starts(x, w: int):
+    """Window starts s where [s, s+w] contains >= 2 set bits of ``x``.
+
+    Bit trick: positions p and p+d are both set iff ``x & (x >> d)`` has
+    bit p; such a pair lies in window [s, s+w] iff s is within
+    [p-(w-d), p] — a down-dilation of length w-d+1.  OR over d=1..w.
+    O(w log w) vector ops, no per-position count raster."""
+    ok = None
+    for d in range(1, w + 1):
+        pair = x & _shift_posns_down(x, d)
+        cover = _dilate(pair, w + 1 - d, _shift_posns_down)
+        ok = cover if ok is None else ok | cover
+    return ok
+
+
 def span_counts_dense_planes(planes, anchor_i: int, w: int, num_docs: int,
-                             slots: int):
+                             slots: int, mults=None):
     """Per-doc slop span counts on dense planes ([..., NS] each).
 
-    Same semantics as spans._span_impl with all multiplicities 1: anchor
-    position p (rarest term) is covered iff some window [s, s+w] with
-    s <= p <= s+w contains a bit of every term.  ok(s) = AND of per-term
-    window presence (dilation down over [0, w]); covered(p) = OR of ok
-    over [p-w, p] (dilation up); counts = per-doc popcount of covered
-    anchors.  Valid for w <= LSB_BITS (shift never crosses two slots)."""
+    Same semantics as spans._span_impl: anchor position p (rarest term)
+    is covered iff some window [s, s+w] with s <= p <= s+w contains at
+    least ``mults[t]`` bits of every distinct term t.  ok(s) = AND of
+    per-term window presence (dilation down over [0, w]; the pair trick
+    for multiplicity 2); covered(p) = OR of ok over [p-w, p] (dilation
+    up); counts = per-doc popcount of covered anchors.  Valid for
+    w <= LSB_BITS (shift never crosses two slots) and mults <= 2."""
     ok = None
-    for pl in planes:
-        present = _dilate(pl, w + 1, _shift_posns_down)
+    for i, pl in enumerate(planes):
+        m = 1 if mults is None else mults[i]
+        if m == 1:
+            present = _dilate(pl, w + 1, _shift_posns_down)
+        elif m == 2:
+            present = _win_pair_starts(pl, w)
+        else:
+            raise ValueError("dense span kernel supports mults <= 2")
         ok = present if ok is None else ok & present
     covered = _dilate(ok, w + 1, _shift_posns_up)
     anchored = planes[anchor_i] & covered
@@ -481,13 +503,15 @@ def span_counts_dense_planes(planes, anchor_i: int, w: int, num_docs: int,
 
 
 def score_span_dense(dev: DeviceIndex, uniq_tids: List[int], anchor_i: int,
-                     w: int, kind: str, k1: float, b: float, idf):
+                     w: int, kind: str, k1: float, b: float, idf,
+                     mults=None):
     """Single-query dense slop scoring (one dispatch after the pool fill)."""
     import jax
 
     T = len(uniq_tids)
+    mults_key = None if mults is None else tuple(mults)
     key = ("dspan1", dev.corpus_size, dev.blk_bits, T, anchor_i, w, kind,
-           k1, b)
+           k1, b, mults_key)
     fn = _jit_cache.get(key)
     if fn is None:
         from searcharray_tpu.search.scoring import apply_similarity_device
@@ -497,7 +521,8 @@ def score_span_dense(dev: DeviceIndex, uniq_tids: List[int], anchor_i: int,
 
         def f(doc_lens, idf_, avgdl, pool, slots):
             planes = [pool[slots[i]] for i in range(T)]
-            freqs = span_counts_dense_planes(planes, anchor_i, w, N, S)
+            freqs = span_counts_dense_planes(planes, anchor_i, w, N, S,
+                                             mults=mults_key)
             return apply_similarity_device(kind, freqs, doc_lens, idf_,
                                            avgdl, k1, b)
 
@@ -551,6 +576,39 @@ def phrase_group_body(dev: DeviceIndex, T: int, plan_key: tuple,
         n_docs, dl = Cp, jnp.take(doc_lens, rows, axis=-1)
     freqs = phrase_counts_dense_planes(planes, list(pattern), plan, n_docs,
                                        S)
+    out = apply_similarity_device(kind, freqs, dl[None, :], idfs[:, None],
+                                  avgdl, k1, b)
+    if top_k is None:
+        return out
+    return pack_topk(out, top_k)
+
+
+def span_group_body(dev: DeviceIndex, T: int, anchor_i: int, w: int,
+                    mults: tuple, kind: str, k1: float, b: float,
+                    top_k: Optional[int], pool, slots, doc_lens, idfs,
+                    avgdl, rows=None):
+    """Traced body of one slop group: gather planes from the pool, run
+    the windowed dilation span kernel over the query axis, apply
+    similarity, optionally fuse top-k packing."""
+    import jax.numpy as jnp
+
+    from searcharray_tpu.search.scoring import apply_similarity_device
+
+    N = dev.corpus_size
+    S = plane_slots(dev)
+    if rows is None:
+        planes = [jnp.take(pool, slots[:, i], axis=0) for i in range(T)]
+        n_docs, dl = N, doc_lens
+    else:
+        Cp = rows.shape[0]
+        flat_idx = (rows[:, None] * jnp.int32(S)
+                    + jnp.arange(S, dtype=jnp.int32)[None, :]).reshape(-1)
+        planes = [jnp.take(jnp.take(pool, slots[:, i], axis=0), flat_idx,
+                           axis=-1)
+                  for i in range(T)]
+        n_docs, dl = Cp, jnp.take(doc_lens, rows, axis=-1)
+    freqs = span_counts_dense_planes(planes, anchor_i, w, n_docs, S,
+                                     mults=mults)
     out = apply_similarity_device(kind, freqs, dl[None, :], idfs[:, None],
                                   avgdl, k1, b)
     if top_k is None:

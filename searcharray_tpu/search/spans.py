@@ -173,14 +173,16 @@ def span_freqs_dense(
 
     # dense block-layout path: elementwise dilations, no searchsorted
     # neighbourhoods (the measured-slow dependent-gather pattern); needs
-    # distinct terms and a window within one slot shift
-    if (not windowed and w <= LSB_BITS and all(m == 1 for m in mults)):
+    # a window within one slot shift and term multiplicity <= 2 (the
+    # pair-dilation trick covers repeated terms like stopword slop)
+    if (not windowed and w <= LSB_BITS and all(m <= 2 for m in mults)):
         from searcharray_tpu.search import dense as dense_mod
 
         if (dense_mod.dense_eligible(index)
                 and dense_mod.phrase_fits_pool(index, uniq)):
             return dense_mod.score_span_dense(index, uniq, anchor_i, w,
-                                              kind, k1, b, idf)
+                                              kind, k1, b, idf,
+                                              mults=tuple(mults))
 
     from searcharray_tpu.search.phrase import _segsum_wpb
 

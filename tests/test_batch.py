@@ -211,3 +211,33 @@ def test_topk_exact_two_stage():
                                       err_msg=f"n={n}")
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref),
                                       err_msg=f"n={n}")
+
+
+def test_batch_slop_grouped(docs, engine):
+    """Slop batches run grouped span kernels; parity vs single-query."""
+    queries = [["what", "is"], ["star", "trek"], ["the", "of"],
+               ["what", "is", "the"], ["the", "the"],
+               ["what", "nosuchterm"], "the"]
+    for slop in (1, 3):
+        batched = docs.score_batch(queries, slop=slop)
+        for i, q in enumerate(queries):
+            np.testing.assert_allclose(
+                batched[i], docs.score(q, slop=slop), rtol=1e-6, atol=1e-6,
+                err_msg=f"{q} slop={slop}")
+        scores, idx = docs.score_batch(queries, top_k=5, slop=slop)
+        np.testing.assert_allclose(
+            scores, np.sort(batched, axis=1)[:, ::-1][:, :5], rtol=1e-6,
+            atol=1e-6)
+        for i in range(len(queries)):
+            np.testing.assert_allclose(batched[i][idx[i]], scores[i],
+                                       rtol=1e-6, atol=1e-6)
+
+
+def test_batch_slop_wide_window_fallback(docs, engine):
+    """Windows wider than one block (w > 18) use the per-query fallback
+    inside the batch driver — results must still match."""
+    queries = [["what", "is"], ["star", "trek"]]
+    batched = docs.score_batch(queries, slop=25)
+    for i, q in enumerate(queries):
+        np.testing.assert_allclose(batched[i], docs.score(q, slop=25),
+                                   rtol=1e-6, atol=1e-6, err_msg=str(q))

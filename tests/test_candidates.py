@@ -58,16 +58,23 @@ def _expected(docs, queries):
 
 def test_candidate_routing_engaged(docs, forced):
     tids = docs._resolve_tids(["r0"])
-    groups, _ = batch_mod._classify(docs.dev, [tids], "bm25",
-                                    allow_candidates=True)
+    groups, _, _ = batch_mod._classify(docs.dev, [tids], "bm25",
+                                       allow_candidates=True)
     assert list(groups)[0][0] == "cterm"
     ptids = docs._resolve_tids(["r0", "hot1"])
-    groups, _ = batch_mod._classify(docs.dev, [ptids], "bm25",
-                                    allow_candidates=True)
+    groups, _, _ = batch_mod._classify(docs.dev, [ptids], "bm25",
+                                       allow_candidates=True)
     gkey = list(groups)[0]
     assert gkey[0] == "cphrase"
     if forced == "mixed":
         assert "pool" in gkey[4]  # hot1 must use the pooled plane
+    # slop routing: candidate span group at scale, dspan without
+    groups, _, _ = batch_mod._classify(docs.dev, [ptids], "bm25",
+                                       allow_candidates=True, slop=2)
+    assert list(groups)[0][0] == "cspan"
+    groups, _, _ = batch_mod._classify(docs.dev, [ptids], "bm25",
+                                       allow_candidates=False, slop=2)
+    assert list(groups)[0][0] == "dspan"
 
 
 def test_candidate_dense_parity(docs, forced):
@@ -127,3 +134,18 @@ def test_eligibility_gates(docs):
         assert not cand_mod.eligible_term(dev, 10, 1000)
     finally:
         mp.undo()
+
+
+def test_candidate_slop_parity(docs, forced):
+    queries = [["r0", "hot1"], ["r1", "r2", "r3"], ["r0", "r0"],
+               ["r1", "r2", "r3", "r1"], "r17", ["r0", "nosuchterm"]]
+    for slop in (1, 4):
+        got = docs.score_batch(queries, slop=slop)
+        for i, q in enumerate(queries):
+            np.testing.assert_allclose(
+                got[i], np.asarray(docs.score(q, slop=slop)), rtol=1e-6,
+                atol=1e-6, err_msg=f"{q} slop={slop}")
+        scores, idx = docs.score_batch(queries, top_k=4, slop=slop)
+        np.testing.assert_allclose(
+            scores, np.sort(got, axis=1)[:, ::-1][:, :4], rtol=1e-6,
+            atol=1e-6)

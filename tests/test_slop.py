@@ -139,3 +139,34 @@ def test_dense_slop_matches_sparse_kernel():
         np.testing.assert_allclose(dense_scores, sparse_scores, rtol=1e-6,
                                    err_msg=f"{q} slop={slop}")
         assert dense_scores.sum() > 0
+
+
+def test_dense_slop_repeated_terms_matches_sparse():
+    """Multiplicity-2 slop (repeated query terms, e.g. stopword-ish
+    phrases) must take the dense pair-dilation path and agree with the
+    windowed gather kernel."""
+    import numpy as np
+    import pytest
+
+    from searcharray_tpu import SearchArray
+    from searcharray_tpu.search import dense as dense_mod
+
+    rng = np.random.default_rng(17)
+    vocab = ["a", "b", "c"] + [f"x{i}" for i in range(20)]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 80)))
+        for _ in range(400)
+    ]
+    docs.append("a b a")
+    docs.append("a x0 x1 b x2 a")
+    arr = SearchArray.index(docs)
+    for q, slop in ((["a", "b", "a"], 1), (["a", "b", "a"], 4),
+                    (["a", "a"], 2), (["b", "a", "b", "a"], 6),
+                    (["c", "c", "c"], 5)):
+        dense_scores = arr.termfreqs(q, slop=slop)
+        with pytest.MonkeyPatch.context() as m:
+            m.setattr(dense_mod, "DENSE_TERM_BYTES_LIMIT", 0)
+            sparse_scores = arr.termfreqs(q, slop=slop)
+        np.testing.assert_allclose(dense_scores, sparse_scores, rtol=1e-6,
+                                   err_msg=f"{q} slop={slop}")
+        assert dense_scores.sum() > 0, f"{q} slop={slop}"
