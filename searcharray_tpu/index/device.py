@@ -70,6 +70,13 @@ class DeviceIndex:
         self.tf_free: list = []
         # dict-LRU tf fallback for pool-ineligible corpora (dense.term_tf)
         self.tf_cache: "OrderedDict[int, object]" = OrderedDict()
+        # Phrase-tf cache bookkeeping (search/dense.py): a repeated
+        # phrase's per-doc freq vector is materialized into the tf pool
+        # (tf_slot keys may be (tids, slop) tuples, not just term ids).
+        # phrase_hits counts encounters per signature; phrase_recipes
+        # records how to (re)build a promoted signature's row.
+        self.phrase_hits: dict = {}
+        self.phrase_recipes: dict = {}
 
     @staticmethod
     def _per_term_block_max(built: BuiltIndex, doc_block: int) -> np.ndarray:

@@ -694,6 +694,15 @@ class SearchArray(ExtensionArray):
                 self.dev, term_ids[0], kind=kind, k1=k1, b=b,
                 min_posn=min_posn, max_posn=max_posn, idf=idf,
             )
+        if min_posn is None and max_posn is None:
+            # repeated phrases score from the phrase-tf cache (one row
+            # gather + similarity); posn windows change freqs -> bypass
+            from searcharray_tpu.search import batch as batch_mod
+
+            r = batch_mod.score_phrase_cached_single(
+                self.dev, term_ids, slop, kind, k1, b, idf)
+            if r is not None:
+                return r
         if slop == 0:
             return phrase_mod.phrase_freqs_dense(
                 self.dev, term_ids, min_posn, max_posn,
@@ -800,7 +809,24 @@ class SearchArray(ExtensionArray):
                     defer=not block)
             return batch_mod.score_batch_fused(self.dev, qtids, kind, k1,
                                                b, slop=slop)
-        # sharded / sliced views: per-query dispatches
+        if full_view and self._state.sharded is not None:
+            # grouped sharded span programs + distributed top-k
+            kind, k1, b = fused
+            sharded = self._state.sharded
+            qtids = []
+            for q in queries:
+                q = self._check_token_arg(q)
+                qtids.append(self._resolve_tids(
+                    [q] if isinstance(q, str) else q))
+            dense_dev = sharded.score_batch_device(qtids, kind, k1, b,
+                                                   slop=slop)
+            if top_k is not None:
+                k = min(top_k, len(self))
+                scores, idx = sharded.topk_fn(dense_dev.shape, k)(dense_dev)
+                return (np.asarray(scores, dtype=np.float32),
+                        np.asarray(idx, dtype=np.int64))
+            return np.asarray(dense_dev, dtype=np.float32)
+        # sliced views: per-query dispatches
         pending = [
             self._score_fused(self._check_token_arg(q), fused, slop,
                               None, None)
@@ -875,16 +901,13 @@ class SearchArray(ExtensionArray):
         sharded = self._state.sharded
         if slop != 0:
             if sharded is not None and full_view:
-                pending = []
+                qtids = []
                 for q in queries:
                     q = self._check_token_arg(q)
-                    if isinstance(q, str):
-                        pending.append(sharded.score_batch_device(
-                            [self._resolve_tids([q])], kind, k1, b)[0])
-                    else:
-                        pending.append(sharded.span_freqs(
-                            q, slop, k1=k1, b=b, kind=kind))
-                return jnp.stack(pending)
+                    qtids.append(self._resolve_tids(
+                        [q] if isinstance(q, str) else q))
+                return sharded.score_batch_device(qtids, kind, k1, b,
+                                                  slop=slop)
             if sharded is None and full_view:
                 qtids = []
                 for q in queries:

@@ -237,7 +237,8 @@ class ShardedIndex:
 
 
     def score_batch_device(self, queries_tids, kind: str = "bm25",
-                           k1: float = 1.2, b: float = 0.75):
+                           k1: float = 1.2, b: float = 0.75,
+                           slop: int = 0):
         """Mixed term/phrase batch -> f32[Q, N] device array (sharded).
 
         The sharded counterpart of batch.score_batch_fused(as_device=True),
@@ -269,6 +270,8 @@ class ShardedIndex:
             expand.append(uid)
         queries_tids = uniq
 
+        from searcharray_tpu.ops.encoding import LSB_BITS
+
         Q = len(queries_tids)
         N = self.corpus_size
         out = jnp.zeros((Q, N), jnp.float32)
@@ -285,16 +288,38 @@ class ShardedIndex:
             lengths = [int(self._host_lengths[:, t].sum()) for t in tids]
             if min(lengths) == 0:
                 continue
+            if slop > 0:
+                uniq: list = []
+                mults: list = []
+                for t in tids:
+                    if t in uniq:
+                        mults[uniq.index(t)] += 1
+                    else:
+                        uniq.append(t)
+                        mults.append(1)
+                w = len(tids) + slop - 1
+                if not (w <= LSB_BITS and max(mults) <= 2):
+                    # wide/high-multiplicity windows: per-query span kernel
+                    out = out.at[qi].set(self._span_tids(
+                        tids, slop, kind=kind, k1=k1, b=b, idf=float(idf)))
+                    continue
+                u_lens = [int(self._host_lengths[:, t].sum()) for t in uniq]
+                anchor_i = int(np.argmin(u_lens))
+                bucket = bucket_of(int(max(
+                    self._host_lengths[:, t].max(initial=1) for t in uniq)))
+                gkey = ("span", len(uniq), anchor_i, w, tuple(mults), bucket)
+                groups.setdefault(gkey, []).append((qi, uniq, idf))
+                continue
             split = int(np.argmin(lengths))
             plan_key = tuple(
                 (d, tuple(idxs)) for d, idxs in _plan(len(tids), split))
             pattern = tuple(tids.index(t) for t in tids)
             bucket = bucket_of(int(max(
                 self._host_lengths[:, t].max(initial=1) for t in tids)))
-            gkey = (len(tids), plan_key, pattern, bucket)
+            gkey = ("phrase", len(tids), plan_key, pattern, bucket)
             groups.setdefault(gkey, []).append((qi, tids, idf))
         for gkey, rows in groups.items():
-            T, plan_key, pattern, bucket = gkey
+            T = gkey[1]
             # cap the group's in-program dense planes ([Qg, T, NS_shard])
             S_blk = 1 << self.blk_bits
             max_chunk = max(1, (1 << 27) // max(
@@ -315,14 +340,55 @@ class ShardedIndex:
                            axis=0)
         return out
 
-    def _phrase_group(self, gkey, chunk, kind: str, k1: float, b: float):
-        """One shard_map program for a [Qg, T] phrase group: per-shard
-        dense block-layout planes (scatter-expanded in-program) + the
-        elementwise chain — the dense engine's math on every chip."""
+    def _span_tids(self, tids, slop: int, kind: str = "none",
+                   k1: float = 1.2, b: float = 0.75, idf=None):
+        """Per-query sharded slop scoring by term ids (the wide-window /
+        high-multiplicity fallback of the grouped driver)."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        T, plan_key, pattern, bucket = gkey
+        uniq: list = []
+        mults: list = []
+        for t in tids:
+            if t in uniq:
+                mults[uniq.index(t)] += 1
+            else:
+                uniq.append(t)
+                mults.append(1)
+        buckets = tuple(
+            bucket_of(int(self._host_lengths[:, t].max(initial=1)))
+            for t in uniq
+        )
+        lengths = [int(self._host_lengths[:, t].sum()) for t in uniq]
+        anchor_i = int(np.argmin(lengths))
+        if idf is None:
+            if kind == "none":
+                idf = 0.0
+            else:
+                from searcharray_tpu.search.scoring import host_idf
+
+                idf = float(host_idf(
+                    kind, [int(self.doc_freqs[t]) for t in tids],
+                    self.corpus_size, self.avg_doc_length))
+        fn = _sharded_span_fn(self, buckets, tuple(mults), anchor_i,
+                              len(tids), slop, kind, k1, b)
+        offs = np.stack([np.asarray(self.offsets)[:, t] for t in uniq],
+                        axis=1)
+        ns = np.stack([np.asarray(self.lengths)[:, t] for t in uniq], axis=1)
+        sh = NamedSharding(self.mesh, P("docs", None))
+        return fn(self.hdrs, self.pays, self.doc_lens,
+                  jax.device_put(offs, sh), jax.device_put(ns, sh),
+                  np.float32(idf))
+
+    def _phrase_group(self, gkey, chunk, kind: str, k1: float, b: float):
+        """One shard_map program for a [Qg, T] phrase or span group:
+        per-shard dense block-layout planes (scatter-expanded in-program)
+        + the elementwise chain / windowed dilation — the dense engine's
+        math on every chip."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        T = gkey[1]
         qaxis = self.mesh.shape["queries"]
         Qg = len(chunk)
         Qp = -(-Qg // qaxis) * qaxis
@@ -335,8 +401,7 @@ class ShardedIndex:
             idfs[r] = idf
             offs[:, r, :] = offsets_h[:, tids]
             ns[:, r, :] = self._host_lengths[:, tids]
-        fn = _sharded_phrase_group_fn(self, T, plan_key, pattern, bucket,
-                                      Qp, kind, k1, b)
+        fn = _sharded_phrase_group_fn(self, gkey, Qp, kind, k1, b)
         shq = NamedSharding(self.mesh, P("docs", "queries", None))
         offs_d = jax.device_put(offs, shq)
         ns_d = jax.device_put(ns, shq)
@@ -423,42 +488,12 @@ class ShardedIndex:
         """Slop-phrase frequencies (or BM25 scores) corpus-wide, per shard
         under shard_map (windows never cross documents, so slop search is
         shard-local like exact phrases)."""
-        import jax
         import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
         if any(t not in self.vocab for t in tokens):
             return jnp.zeros(self.corpus_size, dtype=jnp.float32)
         tids = [self.vocab.get_term_id(t) for t in tokens]
-        uniq: list = []
-        mults: list = []
-        for t in tids:
-            if t in uniq:
-                mults[uniq.index(t)] += 1
-            else:
-                uniq.append(t)
-                mults.append(1)
-        buckets = tuple(
-            bucket_of(int(self._host_lengths[:, t].max(initial=1)))
-            for t in uniq
-        )
-        lengths = [int(self._host_lengths[:, t].sum()) for t in uniq]
-        anchor_i = int(np.argmin(lengths))
-        if kind == "none":
-            idf = 0.0
-        else:
-            from searcharray_tpu.search.scoring import host_idf
-
-            idf = float(host_idf(kind, [int(self.doc_freqs[t]) for t in tids],
-                                 self.corpus_size, self.avg_doc_length))
-        fn = _sharded_span_fn(self, buckets, tuple(mults), anchor_i,
-                              len(tids), slop, kind, k1, b)
-        offs = np.stack([np.asarray(self.offsets)[:, t] for t in uniq], axis=1)
-        ns = np.stack([np.asarray(self.lengths)[:, t] for t in uniq], axis=1)
-        sh = NamedSharding(self.mesh, P("docs", None))
-        return fn(self.hdrs, self.pays, self.doc_lens,
-                  jax.device_put(offs, sh), jax.device_put(ns, sh),
-                  np.float32(idf))
+        return self._span_tids(tids, slop, kind=kind, k1=k1, b=b)
 
 
 _span_shard_cache: dict = {}
@@ -523,36 +558,52 @@ def _sharded_span_fn(idx: ShardedIndex, buckets, mults, anchor_i, n_terms,
 _phrase_shard_cache: dict = {}
 
 
-def _sharded_phrase_group_fn(idx: ShardedIndex, T: int, plan_key, pattern,
-                             bucket: int, Qp: int, kind: str, k1: float,
-                             b: float):
-    """shard_map program for a phrase group: [S, Qp, T] slice specs ->
-    f32[Qp, N] scores.  Each chip scatter-expands its local term slices
-    into dense block-layout planes and runs the elementwise chain
-    (search/dense.py math) vmapped over its query sub-axis; queries are
-    sharded over the mesh's ``queries`` axis, docs over ``docs``."""
+def _sharded_phrase_group_fn(idx: ShardedIndex, gkey, Qp: int, kind: str,
+                             k1: float, b: float):
+    """shard_map program for a phrase/span group: [S, Qp, T] slice specs
+    -> f32[Qp, N] scores.  Each chip scatter-expands its local term
+    slices into dense block-layout planes and runs the elementwise chain
+    / windowed dilation (search/dense.py math) vmapped over its query
+    sub-axis; queries are sharded over the mesh's ``queries`` axis, docs
+    over ``docs``."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
     key = ("pgroup", idx.corpus_size, idx.max_shard_docs, idx.blk_bits,
-           idx.num_shards, float(idx.avg_doc_length), T, plan_key, pattern,
-           bucket, Qp, kind, k1, b)
+           idx.num_shards, float(idx.avg_doc_length), gkey, Qp, kind, k1, b)
     fn = _phrase_shard_cache.get(key)
     if fn is not None:
         return fn
 
     from searcharray_tpu.ops import kernels as K
-    from searcharray_tpu.search.dense import phrase_counts_dense_planes
+    from searcharray_tpu.search.dense import (
+        phrase_counts_dense_planes,
+        span_counts_dense_planes,
+    )
     from searcharray_tpu.search.scoring import apply_similarity_device
 
+    T = gkey[1]
+    bucket = gkey[-1]
     N_shard = idx.max_shard_docs
     blk_bits = idx.blk_bits
     S_blk = 1 << blk_bits
     NS_shard = N_shard * S_blk
     avgdl = np.float32(max(idx.avg_doc_length, 1e-38))
-    plan = [(d, list(idxs)) for d, idxs in plan_key]
-    pattern_l = list(pattern)
+    if gkey[0] == "phrase":
+        _, _, plan_key, pattern, _ = gkey
+        plan = [(d, list(idxs)) for d, idxs in plan_key]
+        pattern_l = list(pattern)
+
+        def reduce_planes(planes):
+            return phrase_counts_dense_planes(planes, pattern_l, plan,
+                                              N_shard, S_blk)
+    else:  # span
+        _, _, anchor_i, w, mults, _ = gkey
+
+        def reduce_planes(planes):
+            return span_counts_dense_planes(planes, anchor_i, w, N_shard,
+                                            S_blk, mults=mults)
 
     def local(hdr_s, pay_s, doc_lens_s, offs_q, ns_q, idfs_q):
         hdr_s, pay_s, doc_lens_s = hdr_s[0], pay_s[0], doc_lens_s[0]
@@ -567,8 +618,7 @@ def _sharded_phrase_group_fn(idx: ShardedIndex, T: int, plan_key, pattern,
                     jnp.zeros(NS_shard, jnp.uint32).at[h].set(
                         p, mode="drop", unique_indices=True,
                         indices_are_sorted=True))
-            return phrase_counts_dense_planes(planes, pattern_l, plan,
-                                              N_shard, S_blk)
+            return reduce_planes(planes)
 
         freqs = jax.vmap(one_query)(offs_q, ns_q)  # [Qq, N_shard]
         out = apply_similarity_device(kind, freqs, doc_lens_s[None, :],

@@ -91,18 +91,6 @@ def _qpad(q: int) -> int:
     return K.bucket_of(q)
 
 
-def _qpad_c(q: int) -> int:
-    """Candidate-group query padding: plain powers of two.
-
-    Candidate bodies cost O(Qp x Kc) — cheap — while every distinct
-    (shape-class, Qp) is a fresh XLA compile, so fewer Qp values beat
-    tighter padding (serving workloads vary group sizes every batch)."""
-    p = 1
-    while p < q:
-        p <<= 1
-    return p
-
-
 def _npad(num_docs: int) -> int:
     return -(-max(1, num_docs) // _DOC_BLOCK) * _DOC_BLOCK
 
@@ -387,6 +375,78 @@ def _run_super(dev: DeviceIndex, specs: List[dict], kind: str, k1: float,
 # ---------------------------------------------------------------------------
 # batch driver
 # ---------------------------------------------------------------------------
+def _phrase_tf_route(dev: DeviceIndex, sig, tids, fkey, budget) -> bool:
+    """Whether this phrase scores via its cached tf-pool freq row
+    (search/dense.py phrase-tf cache).  Counts the encounter and, at
+    PHRASE_TF_MIN_HITS, registers the fill recipe and spends one unit of
+    the per-call promotion budget; the wave fill then materializes the
+    row inside the same fused fill program.  Evicted rows re-promote the
+    same way on later hits."""
+    from searcharray_tpu.search import dense
+
+    if sig in dev.tf_slot:
+        return True
+    h = dev.phrase_hits.get(sig, 0) + 1
+    dev.phrase_hits[sig] = h
+    if h < dense.PHRASE_TF_MIN_HITS or budget[0] <= 0:
+        return False
+    dev.phrase_recipes[sig] = (list(tids), fkey)
+    budget[0] -= 1
+    return True
+
+
+def score_phrase_cached_single(dev: DeviceIndex, tids: List[int], slop: int,
+                               kind: str, k1: float, b: float, idf):
+    """Single-query fast path through the phrase-tf cache, or None.
+
+    Mirrors _classify's dphrase/dspan structural computation (full-plane
+    dense chain shapes only; candidate-routed rare phrases don't repeat
+    enough to cache).  A hit or promotion scores as one tf-row gather +
+    similarity — the dterm group program at Qp=1."""
+    from searcharray_tpu.search import dense
+
+    if not dense.dense_eligible(dev) or len(tids) < 2:
+        return None
+    lengths = [dev.term_span(t)[1] for t in tids]
+    if min(lengths) == 0:
+        return None
+    if slop > 0:
+        uniq: List[int] = []
+        mults: List[int] = []
+        for t in tids:
+            if t in uniq:
+                mults[uniq.index(t)] += 1
+            else:
+                uniq.append(t)
+                mults.append(1)
+        w = len(tids) + slop - 1
+        if not (w <= LSB_BITS and max(mults) <= 2):
+            return None
+        if not dense.phrase_fits_pool(dev, uniq):
+            return None
+        anchor_i = int(np.argmin([dev.term_span(t)[1] for t in uniq]))
+        rec, fkey = uniq, ("phs", len(uniq), anchor_i, w, tuple(mults))
+    else:
+        if not dense.phrase_fits_pool(dev, tids):
+            return None
+        split = int(np.argmin(lengths))
+        plan_key = tuple((d, tuple(ix)) for d, ix in _plan(len(tids), split))
+        pattern = tuple(tids.index(t) for t in tids)
+        rec, fkey = tids, ("ph", len(tids), plan_key, pattern)
+    sig = (tuple(tids), slop)
+    n_sigs = sum(1 for k_ in dev.tf_slot if isinstance(k_, tuple))
+    budget = [max(0, dense.tf_capacity(dev) // 2 - n_sigs)]
+    if not _phrase_tf_route(dev, sig, rec, fkey, budget):
+        return None
+    dense.ensure_batch(dev, tf_tids=[sig])
+    fn = dense.term_group_fn(dev, kind, k1, b, None)
+    out = fn(dev.tf_pool,
+             np.asarray([dev.tf_slot[sig]], np.int32), dev.doc_lens,
+             np.asarray([idf], np.float32),
+             np.float32(max(dev.avg_doc_length, 1e-38)))
+    return out[0]
+
+
 def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
               kind: str, top_k: Optional[int] = None,
               allow_candidates: bool = False, slop: int = 0):
@@ -419,6 +479,11 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
     groups: dict = {}
     zero_rows: List[int] = []
     fallback: List[tuple] = []
+    # phrase-tf promotion budget for this call: at most half the tf pool
+    # holds phrase rows, so hot terms and a phrase flood can't thrash
+    n_sigs = sum(1 for k_ in dev.tf_slot if isinstance(k_, tuple))
+    ptf_budget = [max(0, dense.tf_capacity(dev) // 2 - n_sigs)
+                  if dense_ok else 0]
     for qi, tids in enumerate(queries_tids):
         if tids is None or len(tids) == 0 or any(t < 0 for t in tids):
             zero_rows.append(qi)
@@ -449,13 +514,21 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
                 fallback.append((qi, tids, idf))
                 continue
             if allow_candidates and C.eligible_phrase(dev, uniq, top_k):
-                rarest_i = int(np.argmin(u_dfs))
+                rarest_i = uniq.index(C.rows_source(dev, uniq))
                 srcs = tuple(C.term_source(dev, u_lens[i])
                              for i in range(len(uniq)))
+                rb = K.expand_bucket_of(u_lens[rarest_i])
                 gkey = ("cspan", len(uniq), anchor_i, w, mkey, srcs,
-                        C.kc_bucket(u_dfs[rarest_i]),
-                        K.expand_bucket_of(u_lens[rarest_i]), rarest_i)
+                        rb, rb, rarest_i)
             elif dense_ok and dense.phrase_fits_pool(dev, uniq):
+                sig = (tuple(tids), slop)
+                if _phrase_tf_route(dev, sig, uniq,
+                                    ("phs", len(uniq), anchor_i, w, mkey),
+                                    ptf_budget):
+                    groups.setdefault(("dterm",), []).append(
+                        (qi, np.zeros(1, np.int32), np.zeros(1, np.int32),
+                         idf, [sig]))
+                    continue
                 gkey = ("dspan", len(uniq), anchor_i, w, mkey)
             else:
                 fallback.append((qi, tids, idf))
@@ -466,9 +539,10 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
             continue
         if len(tids) == 1:
             if allow_candidates and lengths[0] > 0 and C.eligible_term(
-                    dev, dfs[0], top_k):
-                gkey = ("cterm", K.expand_bucket_of(lengths[0]),
-                        C.kc_bucket(dfs[0]))
+                    dev, tids[0], top_k):
+                bkt = K.expand_bucket_of(lengths[0])
+                gkey = ("cterm", bkt, bkt)  # Kc == slice bucket: one
+                # compile class per bucket (candidates.kc_bucket)
             elif dense_ok:
                 gkey = ("dterm",)
             else:
@@ -484,13 +558,21 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
                 (d, tuple(idxs)) for d, idxs in _plan(len(tids), split))
             pattern = tuple(tids.index(t) for t in tids)
             if allow_candidates and C.eligible_phrase(dev, tids, top_k):
-                rarest_i = int(np.argmin(dfs))
+                rarest_i = tids.index(C.rows_source(dev, tids))
                 srcs = tuple(C.term_source(dev, lengths[i])
                              for i in range(len(tids)))
+                rb = K.expand_bucket_of(lengths[rarest_i])
                 gkey = ("cphrase", len(tids), plan_key, pattern, srcs,
-                        C.kc_bucket(dfs[rarest_i]),
-                        K.expand_bucket_of(lengths[rarest_i]), rarest_i)
+                        rb, rb, rarest_i)
             elif dense_ok and dense.phrase_fits_pool(dev, tids):
+                sig = (tuple(tids), 0)
+                if _phrase_tf_route(dev, sig, tids,
+                                    ("ph", len(tids), plan_key, pattern),
+                                    ptf_budget):
+                    groups.setdefault(("dterm",), []).append(
+                        (qi, np.zeros(1, np.int32), np.zeros(1, np.int32),
+                         idf, [sig]))
+                    continue
                 gkey = ("dphrase", len(tids), plan_key, pattern)
             else:
                 from searcharray_tpu.search.phrase import trim_spans
@@ -577,6 +659,7 @@ def score_batch_fused(dev: DeviceIndex,
         if any(g[0] in ("term", "phrase") for g in groups):
             rows_cols = jnp.asarray(np.asarray(rows, dtype=np.int32))
 
+    from searcharray_tpu.search import candidates as C
     from searcharray_tpu.search import dense
 
     Npad = _npad(dev.corpus_size)
@@ -601,16 +684,12 @@ def score_batch_fused(dev: DeviceIndex,
             max_chunk = max(1, min((1 << 28) // max(1, dev.corpus_size),
                                    cap_t - 1))
         elif gkey[0] == "cterm":
-            # work per query is one bucketed slice + Kc-sized compaction
-            max_chunk = max(1, _SPARSE_CHUNK_WORDS // max(1, gkey[1]))
+            max_chunk = C.class_qp(dev, gkey[2])
         elif gkey[0] in ("cphrase", "cspan"):
             T, srcs, Kc, rbucket = _cand_geom(gkey)
             n_pool = sum(1 for s in srcs if s == "pool")
-            mini_words = sum(s for s in srcs if s != "pool") + rbucket
-            S = 1 << dev.blk_bits
-            per_q = T * Kc * S + mini_words  # gathered/sliced elements
             max_chunk = max(1, min(
-                _SPARSE_CHUNK_WORDS // max(1, per_q),
+                C.class_qp(dev, Kc) // max(1, T),
                 ((cap_p - 1) // n_pool) if n_pool else (1 << 30)))
         else:
             # sparse fallback: bound by the flat segment-sum key space AND
@@ -623,7 +702,10 @@ def score_batch_fused(dev: DeviceIndex,
         for c0 in range(0, len(grows), max_chunk):
             chunk = grows[c0: c0 + max_chunk]
             Qg = len(chunk)
-            Qp = (_qpad_c(Qg) if gkey[0] in ("cterm", "cphrase", "cspan")
+            # candidate groups pad to a small per-class width ladder:
+            # bounded compiles per class AND tight small-group dispatches
+            Qp = (C.qp_pad(Qg, max_chunk)
+                  if gkey[0] in ("cterm", "cphrase", "cspan")
                   else _qpad(Qg))
             idfs = np.zeros(Qp, np.float32)
             for r, (qi, o, n, idf, _tids) in enumerate(chunk):
@@ -685,6 +767,12 @@ def score_batch_fused(dev: DeviceIndex,
     for s in fused:
         p_t = set(s.get("plane_tids", ()))
         t_t = set(s.get("tf_tids", ()))
+        # a not-yet-materialized phrase-tf signature pulls its recipe
+        # terms' planes into the wave's fill — count them here so the
+        # wave's total plane pins stay inside the pool
+        for key_ in t_t:
+            if isinstance(key_, tuple) and key_ not in dev.tf_slot:
+                p_t |= set(dev.phrase_recipes[key_][0])
         if cur and (len(cur_p | p_t) > cap_p - 1
                     or len(cur_t | t_t) > cap_t - 1):
             waves.append(cur)

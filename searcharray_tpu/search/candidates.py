@@ -50,15 +50,51 @@ from searcharray_tpu.ops import kernels as K
 CAND_MIN_DOCS = 1 << 19
 CAND_MAX_FRAC = 8
 MINI_MAX_WORDS = 1 << 18  # searchsorted-source ceiling (bucketed words)
-_KC_MIN = 64
 
 
-def kc_bucket(df: int) -> int:
-    """Padded candidate-row count for a docfreq (pow-2: bounded variety)."""
-    b = _KC_MIN
-    while b < df:
-        b <<= 1
-    return b
+def kc_bucket(dev: DeviceIndex, tid: int) -> int:
+    """Candidate-row buffer size for a rows-source term: its coarse
+    posting bucket (>= its docfreq, so compaction always fits).  Using
+    the SAME pow-4 bucket for Kc and the slice collapses the
+    (slice bucket x candidate bucket) compile matrix to one class per
+    bucket — serving batches then reuse a handful of programs forever
+    instead of minting one per docfreq granularity."""
+    return K.expand_bucket_of(max(1, dev.term_span(tid)[1]))
+
+
+_QP_LADDER = (1, 4, 16, 64)
+
+
+def class_qp(dev: DeviceIndex, Kc: int) -> int:
+    """Max query-axis width for a candidate class.  Chunks pad to the
+    smallest _QP_LADDER width that fits (qp_pad), so a class compiles at
+    most len(_QP_LADDER) programs ever while big groups still run as one
+    wide dispatch — on the tunneled TPU each extra program costs ~6-9 ms,
+    far above the padded rows' compute.  The width is bounded so one
+    program's gathered mini-planes stay ~tens of MB."""
+    S = 1 << dev.blk_bits
+    cap = max(1, (1 << 25) // max(1, Kc * S))
+    w = 1
+    for x in _QP_LADDER:
+        if x <= cap:
+            w = x
+    return w
+
+
+def qp_pad(q: int, width: int) -> int:
+    """Smallest ladder width >= q (clamped to the class width)."""
+    for x in _QP_LADDER:
+        if x >= q:
+            return min(x, width)
+    return width
+
+
+def rows_source(dev: DeviceIndex, tids: Sequence[int]) -> int:
+    """The term whose docs become the candidate rows: any query term's
+    doc set is sound (the final score is zero outside every term's docs);
+    pick the one with the smallest candidate buffer, docfreq tie-break."""
+    return min(tids, key=lambda t: (kc_bucket(dev, t),
+                                    int(dev.doc_freqs[t])))
 
 
 def term_source(dev: DeviceIndex, n_words: int):
@@ -69,11 +105,11 @@ def term_source(dev: DeviceIndex, n_words: int):
     return "pool" if b > MINI_MAX_WORDS else b
 
 
-def eligible_term(dev: DeviceIndex, df: int, top_k: Optional[int]) -> bool:
+def eligible_term(dev: DeviceIndex, tid: int, top_k: Optional[int]) -> bool:
     N = dev.corpus_size
     if N < CAND_MIN_DOCS:
         return False
-    kc = kc_bucket(df)
+    kc = kc_bucket(dev, tid)
     if top_k is not None and top_k > kc:
         return False
     return kc * CAND_MAX_FRAC <= N
@@ -86,8 +122,8 @@ def eligible_phrase(dev: DeviceIndex, tids: Sequence[int],
     N = dev.corpus_size
     if N < CAND_MIN_DOCS:
         return False
-    df_r = min(int(dev.doc_freqs[t]) for t in tids)
-    kc = kc_bucket(df_r)
+    rarest = rows_source(dev, tids)
+    kc = kc_bucket(dev, rarest)
     if top_k is not None and top_k > kc:
         return False
     if kc * CAND_MAX_FRAC > N:

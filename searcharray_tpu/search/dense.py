@@ -57,6 +57,21 @@ TF_POOL_MAX_SLOTS = 4096
 _FILL_CHUNK = 64             # max terms per pool-fill dispatch (bounds the
                              # transient [K, NS] expansion inside the program)
 
+# Phrase-tf cache: a phrase's per-doc freq vector is f32[N] — the same
+# shape as a term tf row — and immutable for an index, so a repeated
+# ("hot") phrase can live in the tf pool keyed by (tids, slop) and score
+# as a term does: one row gather + similarity.  At 8.8M docs the full
+# dense chain for a stopword phrase streams T x 281 MB of planes per
+# batch; the cached row replays it for 35 MB.  This is the phrase-level
+# analog of the reference's termfreq cache (`/root/reference/searcharray/
+# phrase/middle_out.py:322-342` caches term freqs; its phrase path
+# recomputes every call).  Promotion: the batch classifier counts
+# encounters per signature and promotes at PHRASE_TF_MIN_HITS; rows fill
+# inside the same fused pool-fill program as term planes ("ph"/"phs"
+# sub-fills below), and LRU-evicted rows re-promote on later hits.
+PHRASE_TF_MIN_HITS = 2
+_PH_CHUNK = 8                # phrase rows per sub-fill (fori, one live row)
+
 _jit_cache: dict = {}
 
 
@@ -142,10 +157,12 @@ def _alloc_slots(slot_map, free: list, pin: set, tids: Sequence[int]):
 
 def _fill_fn(dev: DeviceIndex, skey: tuple, cap_p: int, cap_t: int):
     """jit (both pools donated): one program applying every sub-fill of a
-    batch — expanded term planes into the plane pool and tf vectors into
-    the tf pool, across all posting-size buckets.  ``skey`` is the ordered
-    tuple of ("p"|"t", Kp, bucket) sub-fill shapes.  Padding rows carry
-    slot == capacity and are dropped by the scatter."""
+    batch — expanded term planes into the plane pool, tf vectors into the
+    tf pool, and cached phrase-freq rows ("ph" exact / "phs" slop, which
+    read freshly filled planes — the canonical sub-fill sort puts "p"
+    first, so the data dependency holds inside the one program) into the
+    tf pool.  ``skey`` is the ordered tuple of sub-fill shape keys.
+    Padding rows carry slot == capacity and are dropped by the scatter."""
     import jax
 
     key = ("fill", dev.corpus_size, dev.blk_bits, skey, cap_p, cap_t)
@@ -165,8 +182,36 @@ def _fill_fn(dev: DeviceIndex, skey: tuple, cap_p: int, cap_t: int):
         def f(pool, tfpool, hdrs, pays, parts):
             import jax.numpy as jnp
 
-            for (which, bucket), (offs, ns, slots, k_real) in zip(skey,
-                                                                  parts):
+            for sk, part in zip(skey, parts):
+                which = sk[0]
+                if which in ("ph", "phs"):
+                    tslots, outs, k_real = part
+                    T = sk[1]
+                    S = 1 << blk_bits
+
+                    def body_ph(i, tfp, tslots=tslots, outs=outs,
+                                k_real=k_real, sk=sk, pool=pool):
+                        def do(tfp):
+                            planes = [pool[tslots[i, j]] for j in range(T)]
+                            if sk[0] == "ph":
+                                plan = [(d, list(ix)) for d, ix in sk[2]]
+                                freqs = phrase_counts_dense_planes(
+                                    planes, list(sk[3]), plan, N, S)
+                            else:
+                                _, _, anchor_i, w, mults = sk
+                                freqs = span_counts_dense_planes(
+                                    planes, anchor_i, w, N, S, mults=mults)
+                            return jax.lax.dynamic_update_slice(
+                                tfp, freqs[None, :], (outs[i], 0))
+
+                        return jax.lax.cond(i < k_real, do, lambda x: x,
+                                            tfp)
+
+                    tfpool = jax.lax.fori_loop(0, _PH_CHUNK, body_ph,
+                                               tfpool)
+                    continue
+                bucket = sk[1]
+                offs, ns, slots, k_real = part
                 if which == "p":
                     def body_p(i, pl, offs=offs, ns=ns, slots=slots,
                                bucket=bucket, k_real=k_real):
@@ -229,10 +274,39 @@ def _subfills(dev: DeviceIndex, which: str, new, cap: int):
     return out
 
 
+def _phrase_subfills(dev: DeviceIndex, new_sigs):
+    """Sub-fill specs for newly assigned phrase-tf rows.  ``new_sigs``
+    are ((tids, slop) signature, tf slot) pairs; each signature's recipe
+    (term list + structural fill key) was registered at promotion time.
+    Term plane slots are resolved host-side — ensure_batch allocated the
+    recipe planes in the same call."""
+    by_f: dict = {}
+    for sig, slot in new_sigs:
+        tids, fkey = dev.phrase_recipes[sig]
+        tslots = [dev.plane_slot[t] for t in tids]
+        by_f.setdefault(fkey, []).append((tslots, slot))
+    out = []
+    for fkey, rows in by_f.items():
+        T = fkey[1]
+        for c0 in range(0, len(rows), _PH_CHUNK):
+            chunk = rows[c0: c0 + _PH_CHUNK]
+            ts = np.zeros((_PH_CHUNK, T), np.int32)
+            outs = np.zeros(_PH_CHUNK, np.int32)
+            for r, (tslots, slot) in enumerate(chunk):
+                ts[r] = tslots
+                outs[r] = slot
+            out.append((fkey, (ts, outs, np.int32(len(chunk)))))
+    return out
+
+
 def ensure_batch(dev: DeviceIndex, plane_tids: Sequence[int] = (),
                  tf_tids: Sequence[int] = (), pin_p=(), pin_t=()) -> None:
     """Make every requested term's plane / tf vector pool-resident with a
     single device dispatch for the whole batch (both pools, all buckets).
+
+    ``tf_tids`` entries may be phrase signatures ((tids, slop) tuples)
+    promoted into the phrase-tf cache: missing ones pull their recipe
+    terms' planes into the same fill program and chain inside it.
 
     The TPU analog of the reference's docfreq/termfreq caches
     (`/root/reference/searcharray/phrase/middle_out.py:322-342`), shaped
@@ -241,17 +315,30 @@ def ensure_batch(dev: DeviceIndex, plane_tids: Sequence[int] = (),
         _init_plane_pool(dev)
     if tf_tids:
         _init_tf_pool(dev)
+    miss_sigs = [t for t in tf_tids
+                 if isinstance(t, tuple) and t not in dev.tf_slot]
+    if miss_sigs:
+        _init_plane_pool(dev)
+        rec_tids = [t for s in dict.fromkeys(miss_sigs)
+                    for t in dev.phrase_recipes[s][0]]
+        plane_tids = list(plane_tids) + rec_tids
+        pin_p = set(pin_p) | set(rec_tids)
     new_p = _alloc_slots(dev.plane_slot, dev.plane_free,
                          set(pin_p) | set(plane_tids), plane_tids)
     new_t = _alloc_slots(dev.tf_slot, dev.tf_free,
                          set(pin_t) | set(tf_tids), tf_tids)
     cap_p = 0 if dev.plane_pool is None else dev.plane_pool.shape[0]
     cap_t = 0 if dev.tf_pool is None else dev.tf_pool.shape[0]
+    new_t_terms = [x for x in new_t if not isinstance(x[0], tuple)]
+    new_t_sigs = [x for x in new_t if isinstance(x[0], tuple)]
     subs = (_subfills(dev, "p", new_p, cap_p)
-            + _subfills(dev, "t", new_t, cap_t))
+            + _subfills(dev, "t", new_t_terms, cap_t)
+            + _phrase_subfills(dev, new_t_sigs))
     if not subs:
         return
-    subs.sort(key=lambda s: s[0])  # canonical order: program reuse
+    # canonical order for program reuse; sorts "p" sub-fills ahead of
+    # "ph"/"phs" so phrase rows read already-filled planes
+    subs.sort(key=lambda s: repr(s[0]))
     skey = tuple(sk for sk, _ in subs)
     parts = tuple(arrs for _, arrs in subs)
     fn = _fill_fn(dev, skey, cap_p, cap_t)

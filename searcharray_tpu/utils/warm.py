@@ -21,18 +21,17 @@ import numpy as np
 
 
 def _shape_reps(dev) -> dict:
-    """One representative term id per (expand bucket, Kc bucket) class."""
+    """One representative term id per posting-bucket class (candidate
+    buffers share the same bucket, candidates.kc_bucket)."""
     from searcharray_tpu.ops.kernels import expand_bucket_of
-    from searcharray_tpu.search.candidates import kc_bucket
 
     lengths = np.asarray(dev.postings.lengths)
-    dfs = np.asarray(dev.doc_freqs)
     reps: dict = {}
     for tid in range(len(lengths)):
         n = int(lengths[tid])
         if n == 0:
             continue
-        key = (expand_bucket_of(n), kc_bucket(int(dfs[tid])))
+        key = expand_bucket_of(n)
         if key not in reps:
             reps[key] = tid
     return reps

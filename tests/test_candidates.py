@@ -45,8 +45,11 @@ QUERIES = [
 @pytest.fixture(params=["mini", "mixed"])
 def forced(request, monkeypatch):
     """Force the candidate path on; 'mixed' additionally forces hot terms
-    onto the pool source (as stopwords are at real scale)."""
+    onto the pool source (as stopwords are at real scale).  FRAC=0 lifts
+    the selectivity gate (the 4096-row candidate-buffer floor exceeds
+    these tiny test corpora)."""
     monkeypatch.setattr(cand_mod, "CAND_MIN_DOCS", 0)
+    monkeypatch.setattr(cand_mod, "CAND_MAX_FRAC", 0)
     if request.param == "mixed":
         monkeypatch.setattr(cand_mod, "MINI_MAX_WORDS", 2048)
     return request.param
@@ -72,6 +75,11 @@ def test_candidate_routing_engaged(docs, forced):
     groups, _, _ = batch_mod._classify(docs.dev, [ptids], "bm25",
                                        allow_candidates=True, slop=2)
     assert list(groups)[0][0] == "cspan"
+    # a fresh (never-repeated) slop phrase routes dspan; repeated ones
+    # promote into the phrase-tf cache (test_phrase_tf_cache.py)
+    docs.dev.phrase_hits.clear()
+    for k in [k for k in docs.dev.tf_slot if isinstance(k, tuple)]:
+        docs.dev.tf_free.append(docs.dev.tf_slot.pop(k))
     groups, _, _ = batch_mod._classify(docs.dev, [ptids], "bm25",
                                        allow_candidates=False, slop=2)
     assert list(groups)[0][0] == "dspan"
@@ -120,18 +128,25 @@ def test_dedup_fans_out(docs, forced):
 
 def test_eligibility_gates(docs):
     dev = docs.dev
+    rare = dev.vocab.get_term_id("r0")
+    hot = dev.vocab.get_term_id("hot1")
     # corpus below CAND_MIN_DOCS: never eligible
-    assert not cand_mod.eligible_term(dev, 10, None)
-    # forced on: selective df eligible, stopword df not
+    assert not cand_mod.eligible_term(dev, rare, None)
+    # forced on: selective terms eligible, stopword-sized not
     import pytest as _pytest
 
+    # candidate buffers grow with posting size (class = bucket)
+    assert cand_mod.kc_bucket(dev, rare) < cand_mod.kc_bucket(dev, hot)
     mp = _pytest.MonkeyPatch()
     try:
         mp.setattr(cand_mod, "CAND_MIN_DOCS", 0)
-        assert cand_mod.eligible_term(dev, 10, None)
-        assert not cand_mod.eligible_term(dev, len(docs), None)
+        # selectivity gate: a hot term's buffer exceeds corpus/FRAC
+        assert not cand_mod.eligible_term(dev, hot, None)
+        mp.setattr(cand_mod, "CAND_MAX_FRAC", 0)
+        assert cand_mod.eligible_term(dev, rare, None)
         # top_k larger than the candidate buffer: not eligible
-        assert not cand_mod.eligible_term(dev, 10, 1000)
+        assert not cand_mod.eligible_term(
+            dev, rare, cand_mod.kc_bucket(dev, rare) + 1)
     finally:
         mp.undo()
 

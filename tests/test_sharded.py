@@ -199,3 +199,28 @@ def test_sharded_batch_same_term_phrase(corpus, single):
     for i, q in enumerate(queries):
         np.testing.assert_allclose(got[i], np.asarray(sarr.score(q)),
                                    rtol=1e-5, atol=1e-6, err_msg=str(q))
+
+
+def test_sharded_batch_slop_groups(corpus):
+    """Slop batches run grouped shard_map span programs; parity vs the
+    single-chip engine, including repeated terms and wide windows."""
+    arr = SearchArray.index(corpus, mesh=default_mesh())
+    sarr = SearchArray.index(corpus)
+    queries = [["alpha", "beta"], ["gamma", "delta"], ["eta", "eta"],
+               ["alpha", "beta", "alpha"], "alpha", ["alpha", "missing"]]
+    for slop in (1, 3):
+        got = arr.score_batch(queries, slop=slop)
+        for i, q in enumerate(queries):
+            np.testing.assert_allclose(
+                got[i], np.asarray(sarr.score(q, slop=slop)), rtol=1e-5,
+                atol=1e-6, err_msg=f"{q} slop={slop}")
+    # wide window -> per-query fallback inside the grouped driver
+    got = arr.score_batch(queries[:2], slop=25)
+    for i, q in enumerate(queries[:2]):
+        np.testing.assert_allclose(got[i],
+                                   np.asarray(sarr.score(q, slop=25)),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(q))
+    scores, idx = arr.score_batch(queries, top_k=5, slop=1)
+    dense = np.stack([np.asarray(sarr.score(q, slop=1)) for q in queries])
+    np.testing.assert_allclose(
+        scores, np.sort(dense, axis=1)[:, ::-1][:, :5], rtol=1e-5, atol=1e-6)
