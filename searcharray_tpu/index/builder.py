@@ -414,10 +414,22 @@ class BuiltIndex:
     doc_lens: np.ndarray          # float32[N]
     avg_doc_length: float
     doc_freqs: Optional[np.ndarray] = None   # int64[V]
+    # Precomputed device-attach arrays from a v3 store (index/store.py):
+    # {"hdr32", "pay32" (tail-padded), "block_word_max", "blk_bits",
+    #  "doc_block", "max_bucket"}.  Lets DeviceIndex skip its multi-GB
+    # numpy derivation passes (minutes of 1-core host time at 8.8M docs).
+    derived: Optional[dict] = None
 
     def __post_init__(self):
         if self.doc_freqs is None:
             self.doc_freqs = compute_doc_freqs(self.postings)
+
+    def __getstate__(self):
+        # derived arrays are memmap-backed store artifacts: pickling would
+        # copy gigabytes; they re-derive (or re-load) on the other side
+        d = dict(self.__dict__)
+        d["derived"] = None
+        return d
 
     @property
     def corpus_size(self) -> int:

@@ -26,6 +26,29 @@ from searcharray_tpu.ops.kernels import (
 )
 
 
+def derive_attach_arrays(built: BuiltIndex) -> dict:
+    """The big host-side arrays a DeviceIndex needs: tail-padded hdr32 /
+    pay32 planes and the per-term block-word max.  Quadratic-free but
+    multi-GB numpy passes — a v3 store (index/store.py) runs this once at
+    save time so attach cost is upload, not derivation."""
+    max_len = int(built.postings.lengths.max()) if built.postings.num_terms else 0
+    max_bucket = max(bucket_of(max(1, max_len)),
+                     expand_bucket_of(max(1, max_len)))
+    max_doc_len = float(built.doc_lens.max()) if len(built.doc_lens) else 1
+    blk_bits = blk_bits_for(int(max_doc_len))
+    hdr, pay = compress_planes(built.postings.data, blk_bits)
+    pad_h = np.full(max_bucket, PAD_HDR32, dtype=np.int32)
+    pad_p = np.zeros(max_bucket, dtype=np.uint32)
+    return {
+        "hdr32": np.concatenate([hdr, pad_h]),
+        "pay32": np.concatenate([pay, pad_p]),
+        "block_word_max": DeviceIndex._per_term_block_max(built, 1024),
+        "blk_bits": blk_bits,
+        "doc_block": 1024,
+        "max_bucket": max_bucket,
+    }
+
+
 class DeviceIndex:
     """Immutable device copy of a built index (one shard)."""
 
@@ -49,13 +72,14 @@ class DeviceIndex:
         self._max_doc_len = max_doc_len
         self.blk_bits = blk_bits_for(int(max_doc_len))
 
-        hdr, pay = compress_planes(built.postings.data, self.blk_bits)
-        pad_h = np.full(self.max_bucket, PAD_HDR32, dtype=np.int32)
-        pad_p = np.zeros(self.max_bucket, dtype=np.uint32)
-        self.hdrs = jnp.asarray(np.concatenate([hdr, pad_h]))
-        self.pays = jnp.asarray(np.concatenate([pay, pad_p]))
+        # v3 store fast path: padded planes and the per-term block max were
+        # computed at save time (store.py) — attach is pure upload instead
+        # of minutes of single-core numpy at 8.8M docs.
+        der = self._usable_derived(built) or derive_attach_arrays(built)
+        self.hdrs = jnp.asarray(der["hdr32"])
+        self.pays = jnp.asarray(der["pay32"])
+        self._block_word_max = np.asarray(der["block_word_max"])
         self.doc_lens = jnp.asarray(built.doc_lens, dtype=jnp.float32)
-        self._block_word_max = self._per_term_block_max(built, 1024)
         # Device-resident dense pools (search/dense.py): plane_pool is
         # u32[C, N << blk_bits] (one expanded payload plane per slot),
         # tf_pool is f32[Ct, N].  Host keeps term -> slot maps in LRU
@@ -77,6 +101,24 @@ class DeviceIndex:
         # records how to (re)build a promoted signature's row.
         self.phrase_hits: dict = {}
         self.phrase_recipes: dict = {}
+
+    def _usable_derived(self, built: BuiltIndex):
+        """The store's precomputed attach arrays, or None if absent or
+        stale (layout constants must match what this code would derive —
+        a store written under older bucket/block policies falls back to
+        the recompute path instead of corrupting the planes)."""
+        der = built.derived
+        if not der:
+            return None
+        W = len(built.postings.data)
+        if (der.get("blk_bits") == self.blk_bits
+                and der.get("doc_block") == 1024
+                and der.get("max_bucket") == self.max_bucket
+                and len(der["hdr32"]) == W + self.max_bucket
+                and len(der["pay32"]) == W + self.max_bucket
+                and len(der["block_word_max"]) == built.postings.num_terms):
+            return der
+        return None
 
     @staticmethod
     def _per_term_block_max(built: BuiltIndex, doc_block: int) -> np.ndarray:

@@ -12,9 +12,10 @@ import numpy as np
 
 from searcharray_tpu.index.builder import BuiltIndex, DocTermMatrix, TermPostings
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 _META_ARRAYS = ("offsets", "lengths", "dt_cols", "dt_rows", "doc_lens",
                 "doc_freqs")
+_DERIVED_ARRAYS = ("hdr32", "pay32", "block_word_max")
 
 
 def _next_filename(data_dir: str, suffix: str) -> str:
@@ -57,7 +58,14 @@ def save_index(built: BuiltIndex, directory: str) -> None:
 
     Every array is a plain ``.npy`` (v2) — ``np.savez`` funnels multi-GB
     arrays through single-threaded zip extraction on load (minutes at
-    8.8M docs), while ``.npy`` files load at disk speed and mmap."""
+    8.8M docs), while ``.npy`` files load at disk speed and mmap.
+
+    v3 additionally persists the device-attach arrays (padded hdr32/pay32
+    planes + per-term block-word max, ``device.derive_attach_arrays``):
+    deriving them is minutes of single-core numpy at 8.8M docs, so paying
+    it once at save time makes every later attach pure upload."""
+    from searcharray_tpu.index.device import derive_attach_arrays
+
     os.makedirs(directory, exist_ok=True)
     np.asarray(built.postings.data).tofile(os.path.join(directory, "postings.dat"))
     arrays = {
@@ -70,6 +78,10 @@ def save_index(built: BuiltIndex, directory: str) -> None:
     }
     for name in _META_ARRAYS:
         np.save(os.path.join(directory, name + ".npy"), arrays[name])
+    derived = built.derived or derive_attach_arrays(built)
+    for name in _DERIVED_ARRAYS:
+        np.save(os.path.join(directory, name + ".npy"),
+                np.asarray(derived[name]))
     with open(os.path.join(directory, "index.json"), "w") as f:
         json.dump(
             {
@@ -77,6 +89,9 @@ def save_index(built: BuiltIndex, directory: str) -> None:
                 "avg_doc_length": built.avg_doc_length,
                 "num_docs": int(built.corpus_size),
                 "num_terms": len(built.vocab),
+                "blk_bits": int(derived["blk_bits"]),
+                "doc_block": int(derived["doc_block"]),
+                "max_bucket": int(derived["max_bucket"]),
             },
             f,
         )
@@ -91,7 +106,7 @@ def load_index(directory: str, mmap: bool = True) -> BuiltIndex:
     with open(os.path.join(directory, "index.json")) as f:
         meta = json.load(f)
     version = meta["format_version"]
-    if version not in (1, 2):
+    if version not in (1, 2, 3):
         raise ValueError(f"Unsupported index format {version}")
     if version == 1:
         z = np.load(os.path.join(directory, "meta.npz"))
@@ -117,6 +132,17 @@ def load_index(directory: str, mmap: bool = True) -> BuiltIndex:
     with open(os.path.join(directory, "vocab.txt"), encoding="utf-8") as f:
         for line in f:
             vocab.add_term(json.loads(line))
+    derived = None
+    if version >= 3:
+        mode = "r" if mmap else None
+        derived = {
+            name: np.load(os.path.join(directory, name + ".npy"),
+                          mmap_mode=mode)
+            for name in _DERIVED_ARRAYS
+        }
+        derived["blk_bits"] = meta["blk_bits"]
+        derived["doc_block"] = meta["doc_block"]
+        derived["max_bucket"] = meta["max_bucket"]
     return BuiltIndex(
         postings=postings,
         doc_term=DocTermMatrix(m["dt_cols"], m["dt_rows"]),
@@ -125,4 +151,5 @@ def load_index(directory: str, mmap: bool = True) -> BuiltIndex:
         avg_doc_length=meta["avg_doc_length"],
         # absent in pre-round-2 saves: recomputed by BuiltIndex then
         doc_freqs=np.asarray(m["doc_freqs"]) if "doc_freqs" in m else None,
+        derived=derived,
     )

@@ -689,7 +689,7 @@ def score_batch_fused(dev: DeviceIndex,
             T, srcs, Kc, rbucket = _cand_geom(gkey)
             n_pool = sum(1 for s in srcs if s == "pool")
             max_chunk = max(1, min(
-                C.class_qp(dev, Kc) // max(1, T),
+                C.class_qp(dev, Kc, srcs) // max(1, T),
                 ((cap_p - 1) // n_pool) if n_pool else (1 << 30)))
         else:
             # sparse fallback: bound by the flat segment-sum key space AND
@@ -790,7 +790,7 @@ def score_batch_fused(dev: DeviceIndex,
         tf_tids = [t for s in wave for t in s.get("tf_tids", ())]
         dense.ensure_batch(dev, plane_tids=plane_tids, tf_tids=tf_tids,
                            pin_p=plane_tids, pin_t=tf_tids)
-        gather_bytes = 0
+        gather_bytes = 0  # dense specs only: drives the super-fuse choice
         for s in wave:
             Qg, Qp = s["Qg"], s["Qp"]
             kind0 = s["gkey"][0]
@@ -807,8 +807,6 @@ def score_batch_fused(dev: DeviceIndex,
                 slots[Qg:] = slots[0]
                 gather_bytes += Qp * T * NS * 4
             elif kind0 == "cterm":
-                _, bucket, Kc = s["gkey"]
-                gather_bytes += Qp * (bucket + Kc) * 8
                 continue
             else:  # cphrase / cspan
                 T, srcs, Kc, rbucket = _cand_geom(s["gkey"])
@@ -818,24 +816,35 @@ def score_batch_fused(dev: DeviceIndex,
                     slots[:Qg] = dense.plane_slots_of(
                         dev, s["plane_tids"]).reshape(Qg, npool)
                     slots[Qg:] = slots[0]
-                S = 1 << dev.blk_bits
-                mini_words = sum(x for x in srcs if x != "pool") + rbucket
-                gather_bytes += Qp * (T * Kc * S * 4 + mini_words * 8)
             s["slots"] = slots
         wave_k = None if rows is not None else top_k
-        if (gather_bytes <= _SUPER_FUSE_BYTES
-                and dev.corpus_size <= _SUPER_FUSE_MAX_DOCS):
-            outs = [(_run_super(dev, wave, kind, k1, b, wave_k, rows_dev,
-                                avgdl), wave)]
-        else:
-            # huge corpora: one program per spec.  Fused bodies are
-            # independent, so XLA may overlap their multi-GB temporaries
-            # and blow HBM; worse, a fused program is keyed by the whole
-            # batch's spec mix, and at 8.8M shapes each distinct mix costs
-            # MINUTES of compile (measured) — per-spec programs are keyed
-            # by one group shape and reused across every batch
-            outs = [(_run_super(dev, [s], kind, k1, b, wave_k, rows_dev,
-                                avgdl), [s]) for s in wave]
+        # Candidate specs ALWAYS run one program per spec: their class
+        # keys track the batch's rare-term bucket mix, so folding them
+        # into the super key would mint a fresh XLA program per distinct
+        # mix (measured ~0.7 s of trace+compile-cache load each at 1M
+        # docs, unbounded over a live tail) — per-class programs converge
+        # to a fixed warm set instead.  Dense specs keep fusing: their
+        # keys (dterm + a handful of phrase/span shapes) are stable.
+        dense_w = [s for s in wave
+                   if s["gkey"][0] in ("dterm", "dphrase", "dspan")]
+        cand_w = [s for s in wave
+                  if s["gkey"][0] in ("cterm", "cphrase", "cspan")]
+        outs = []
+        if dense_w:
+            if (gather_bytes <= _SUPER_FUSE_BYTES
+                    and dev.corpus_size <= _SUPER_FUSE_MAX_DOCS):
+                outs.append((_run_super(dev, dense_w, kind, k1, b, wave_k,
+                                        rows_dev, avgdl), dense_w))
+            else:
+                # huge corpora: one program per spec.  Fused bodies are
+                # independent, so XLA may overlap their multi-GB
+                # temporaries and blow HBM; and at 8.8M shapes each
+                # distinct fused mix costs MINUTES of compile (measured)
+                outs += [(_run_super(dev, [s], kind, k1, b, wave_k,
+                                     rows_dev, avgdl), [s])
+                         for s in dense_w]
+        outs += [(_run_super(dev, [s], kind, k1, b, wave_k, rows_dev,
+                             avgdl), [s]) for s in cand_w]
         for out, specs_run in outs:
             qis: List[Optional[int]] = []  # None rows are group padding
             for s in specs_run:

@@ -20,10 +20,11 @@ and run the ordinary dense chain / similarity on it:
 * big terms ("pool" source): gather ``Kc x S`` flat slots out of the
   term's pooled full plane — one clustered-gather round, ~32 B runs;
 * small terms ("mini" source, <= MINI_MAX_WORDS posting words): skip the
-  pool entirely — ``searchsorted`` the slice's doc keys into the [Kc]
-  candidate row table (VMEM-resident, log2(Kc) rounds) and scatter the
-  payloads in-program.  Rare terms never touch the plane pool, so the
-  pool holds only the hot stopword planes and serving stops thrashing.
+  pool entirely — align the slice's doc keys to the [Kc] candidate row
+  table (one-gather imap alignment for big buckets, ``searchsorted``
+  for tiny ones; see ALIGN_IMAP_FRAC) and scatter the payloads
+  in-program.  Rare terms never touch the plane pool, so the pool holds
+  only the hot stopword planes and serving stops thrashing.
 
 Everything is static-shape: candidate buffers pad with a sentinel row
 (``corpus_size``), masked out of scores; top-k runs over the Kc axis and
@@ -49,7 +50,24 @@ from searcharray_tpu.ops import kernels as K
 # corpora by patching CAND_MIN_DOCS.
 CAND_MIN_DOCS = 1 << 19
 CAND_MAX_FRAC = 8
-MINI_MAX_WORDS = 1 << 18  # searchsorted-source ceiling (bucketed words)
+MINI_MAX_WORDS = 1 << 18  # mini-source ceiling (bucketed words)
+
+# Mini-plane alignment strategy.  ``searchsorted`` into the [Kc] row
+# table costs log2(Kc) dependent-gather rounds per posting word — the
+# pattern this repo measured at ~20-30 ns/element/round.  Above a few
+# thousand words per query it is ~4-8x cheaper (measured on v5e:
+# 793 -> 104 ms for a [64, 65536] spec) to scatter the candidate rows
+# once into a doc->candidate-index map ``int32[N]`` and align every
+# mini term with ONE gather round.  The imap costs an N-word sequential
+# init per query, so small-bucket queries keep searchsorted; the choice
+# is static per group key (srcs ship in the gkey).
+ALIGN_IMAP_FRAC = 256     # imap when sum(mini buckets) >= N / this
+IMAP_BYTES_CAP = 1 << 30  # bound on a program's [Qp, N] imap temps
+
+
+def use_imap(num_docs: int, srcs) -> bool:
+    mini = sum(x for x in srcs if x != "pool")
+    return mini >= max(1, num_docs // ALIGN_IMAP_FRAC)
 
 
 def kc_bucket(dev: DeviceIndex, tid: int) -> int:
@@ -62,18 +80,22 @@ def kc_bucket(dev: DeviceIndex, tid: int) -> int:
     return K.expand_bucket_of(max(1, dev.term_span(tid)[1]))
 
 
-_QP_LADDER = (1, 4, 16, 64)
+_QP_LADDER = (1, 4, 16, 32, 64)
 
 
-def class_qp(dev: DeviceIndex, Kc: int) -> int:
+def class_qp(dev: DeviceIndex, Kc: int, srcs=None) -> int:
     """Max query-axis width for a candidate class.  Chunks pad to the
     smallest _QP_LADDER width that fits (qp_pad), so a class compiles at
     most len(_QP_LADDER) programs ever while big groups still run as one
     wide dispatch — on the tunneled TPU each extra program costs ~6-9 ms,
     far above the padded rows' compute.  The width is bounded so one
-    program's gathered mini-planes stay ~tens of MB."""
+    program's gathered mini-planes stay ~tens of MB (and, for
+    imap-aligned groups, its [Qp, N] index-map temps under
+    IMAP_BYTES_CAP)."""
     S = 1 << dev.blk_bits
     cap = max(1, (1 << 25) // max(1, Kc * S))
+    if srcs is not None and use_imap(dev.corpus_size, srcs):
+        cap = min(cap, max(1, IMAP_BYTES_CAP // (4 * dev.corpus_size)))
     w = 1
     for x in _QP_LADDER:
         if x <= cap:
@@ -204,6 +226,15 @@ def candidate_minis(dev_static, T: int, srcs, Kc: int, rarest_bucket: int,
     flat = (rows_clip[:, None] * jnp.int32(S)
             + jnp.arange(S, dtype=jnp.int32)[None, :]).reshape(-1)
 
+    imap = None
+    if use_imap(N, srcs):
+        # one scatter builds doc -> candidate index; every mini term then
+        # aligns with a single gather round instead of log2(Kc) rounds
+        # (sentinel rows == N drop out of the scatter)
+        imap = jnp.full(N, jnp.int32(-1)).at[rows].set(
+            jnp.arange(Kc, dtype=jnp.int32), mode="drop",
+            indices_are_sorted=True)
+
     minis = []
     jp = jm = 0
     for i in range(T):
@@ -214,9 +245,14 @@ def candidate_minis(dev_static, T: int, srcs, Kc: int, rarest_bucket: int,
             bkt = srcs[i]
             keys_i, blks_i, p_i, valid_i = _slice_keys(
                 dev_static, hdrs, pays, m_offs[jm], m_ns[jm], bkt)
-            ci = jnp.searchsorted(rows, keys_i).astype(jnp.int32)
-            ci_c = jnp.clip(ci, 0, Kc - 1)
-            hit = valid_i & (jnp.take(rows, ci_c) == keys_i)
+            if imap is not None:
+                ci_c = jnp.take(imap, jnp.clip(keys_i, 0, N - 1))
+                hit = valid_i & (ci_c >= 0)
+                ci_c = jnp.clip(ci_c, 0, Kc - 1)
+            else:
+                ci = jnp.searchsorted(rows, keys_i).astype(jnp.int32)
+                ci_c = jnp.clip(ci, 0, Kc - 1)
+                hit = valid_i & (jnp.take(rows, ci_c) == keys_i)
             # miss sentinels (Kc*S) are interleaved with hits, so indices
             # are NOT sorted here — no indices_are_sorted hint
             sidx = jnp.where(hit, ci_c * jnp.int32(S) + blks_i,
@@ -292,7 +328,11 @@ def finish_candidates(freqs, rows, doc_lens, idfs, avgdl, kind, k1, b,
                          jnp.maximum(rows[:, 0] - 1, 0))
     rows_m = jnp.where(valid, rows, fallback[:, None])
     masked = jnp.where(valid, scores, np.float32(-1.0))
-    v, i = jax.lax.top_k(masked, k)
+    # two-stage exact top-k: lax.top_k over a wide Kc row is one
+    # sequential sort (measured 2.3x slower at Kc=65536 on v5e)
+    from searcharray_tpu.ops.kernels import topk_exact
+
+    v, i = topk_exact(masked, k)
     real = jnp.take_along_axis(rows_m, i, axis=1)
     v = jnp.maximum(v, np.float32(0.0))
     del n_valid

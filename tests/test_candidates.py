@@ -42,16 +42,22 @@ QUERIES = [
 ]
 
 
-@pytest.fixture(params=["mini", "mixed"])
+@pytest.fixture(params=["mini", "mixed", "searchsorted"])
 def forced(request, monkeypatch):
     """Force the candidate path on; 'mixed' additionally forces hot terms
-    onto the pool source (as stopwords are at real scale).  FRAC=0 lifts
-    the selectivity gate (the 4096-row candidate-buffer floor exceeds
-    these tiny test corpora)."""
+    onto the pool source (as stopwords are at real scale); 'searchsorted'
+    forces the small-bucket alignment (imap is the default on these tiny
+    corpora).  FRAC=0 lifts the selectivity gate (the 4096-row
+    candidate-buffer floor exceeds these tiny test corpora)."""
     monkeypatch.setattr(cand_mod, "CAND_MIN_DOCS", 0)
     monkeypatch.setattr(cand_mod, "CAND_MAX_FRAC", 0)
     if request.param == "mixed":
         monkeypatch.setattr(cand_mod, "MINI_MAX_WORDS", 2048)
+    if request.param == "searchsorted":
+        monkeypatch.setattr(cand_mod, "ALIGN_IMAP_FRAC", 1)
+    # group programs cache by gkey, which doesn't encode the alignment
+    # choice — drop them so each param actually traces its own path
+    batch_mod._group_cache.clear()
     return request.param
 
 

@@ -180,6 +180,58 @@ def test_save_load_index(tmp_path):
                           docs.termfreqs(["foo", "bar"]))
 
 
+def test_save_load_derived_attach(tmp_path):
+    """A v3 store carries the precomputed device-attach planes; loading
+    must use them verbatim (no re-derivation) and score identically."""
+    from searcharray_tpu.index.device import DeviceIndex, derive_attach_arrays
+    from searcharray_tpu.index.store import load_index, save_index
+
+    docs = SearchArray.index(CORPUS * 25)
+    save_index(docs._built, str(tmp_path / "idx"))
+    built = load_index(str(tmp_path / "idx"))
+    assert built.derived is not None
+    # loaded derived arrays must be accepted by the staleness check
+    dev = DeviceIndex(built)
+    assert dev._usable_derived(built) is not None
+    want = derive_attach_arrays(docs._built)
+    assert np.array_equal(np.asarray(dev.hdrs), want["hdr32"])
+    assert np.array_equal(np.asarray(dev.pays), want["pay32"])
+    assert np.array_equal(dev._block_word_max, want["block_word_max"])
+    restored = SearchArray([], tokenizer=docs.tokenizer)
+    restored._attach(built)
+    assert np.allclose(restored.score(["foo", "bar"]),
+                       docs.score(["foo", "bar"]))
+
+
+def test_stale_derived_falls_back(tmp_path):
+    """Derived arrays whose layout constants mismatch are ignored."""
+    from searcharray_tpu.index.device import DeviceIndex
+    from searcharray_tpu.index.store import load_index, save_index
+
+    docs = SearchArray.index(CORPUS * 25)
+    save_index(docs._built, str(tmp_path / "idx"))
+    built = load_index(str(tmp_path / "idx"))
+    built.derived["blk_bits"] = built.derived["blk_bits"] + 1  # stale
+    dev = DeviceIndex(built)  # falls back to recompute, still correct
+    restored = SearchArray([], tokenizer=docs.tokenizer)
+    restored._attach(built)
+    assert np.allclose(restored.score("bar"), docs.score("bar"))
+    del dev
+
+
+def test_built_index_pickle_drops_derived(tmp_path):
+    import pickle
+
+    from searcharray_tpu.index.store import load_index, save_index
+
+    docs = SearchArray.index(CORPUS * 25)
+    save_index(docs._built, str(tmp_path / "idx"))
+    built = load_index(str(tmp_path / "idx"))
+    assert built.derived is not None
+    clone = pickle.loads(pickle.dumps(built))
+    assert clone.derived is None  # memmap-backed arrays never pickle
+
+
 def test_topk_matches_full_sort(docs):
     scores, idx = docs.topk("bar", k=7)
     full = docs.score("bar")
