@@ -66,6 +66,18 @@ class ShardedIndex:
         self.num_shards = int(shard_starts.shape[0])
         self._host_lengths = np.asarray(lengths)
         self.doc_freqs = doc_freqs
+        # Per-shard plane pool (the sharded mirror of search/dense.py's
+        # pool): uint32[S, C, NS_shard] sharded over the docs axis — each
+        # chip holds its own C expanded term planes.  Slot assignment is
+        # global (the same term occupies the same slot on every shard);
+        # fills are one donated shard_map program per wave, and group
+        # programs gather pool rows instead of scatter-expanding per
+        # query.  Lazily allocated on first phrase/span batch.
+        from collections import OrderedDict
+
+        self.plane_pool = None
+        self.plane_slot: "OrderedDict[int, int]" = OrderedDict()
+        self.plane_free: list = []
 
     # ------------------------------------------------------------------
     @classmethod
@@ -102,7 +114,12 @@ class ShardedIndex:
             shard_lens.append(lens)
             max_words = max(max_words, len(words))
 
-        max_bucket = bucket_of(int(max(1, max(l.max(initial=0) for l in shard_lens))))
+        max_len = int(max(1, max(l.max(initial=0) for l in shard_lens)))
+        # tail pad covers the largest slice any kernel takes: quarter-pow2
+        # query buckets AND the coarse pow-4 pool-fill buckets
+        from searcharray_tpu.ops.kernels import expand_bucket_of
+
+        max_bucket = max(bucket_of(max_len), expand_bucket_of(max_len))
         W = max_words + max_bucket
         max_doc_len = float(built.doc_lens.max()) if len(built.doc_lens) else 1
         blk_bits = blk_bits_for(int(max_doc_len))
@@ -381,10 +398,14 @@ class ShardedIndex:
                   np.float32(idf))
 
     def _phrase_group(self, gkey, chunk, kind: str, k1: float, b: float):
-        """One shard_map program for a [Qg, T] phrase or span group:
-        per-shard dense block-layout planes (scatter-expanded in-program)
-        + the elementwise chain / windowed dilation — the dense engine's
-        math on every chip."""
+        """One shard_map program for a [Qg, T] phrase or span group,
+        running the dense engine's math on every chip.
+
+        With the per-shard plane pool (default): the chunk's terms are
+        made pool-resident by one donated fill program per posting
+        bucket, and the group program gathers pool rows per query.  A
+        chunk whose unique terms exceed the pool falls back to the
+        in-program scatter-expansion path."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -392,21 +413,39 @@ class ShardedIndex:
         qaxis = self.mesh.shape["queries"]
         Qg = len(chunk)
         Qp = -(-Qg // qaxis) * qaxis
+        idfs = np.zeros(Qp, np.float32)
+        for r, (qi, tids, idf) in enumerate(chunk):
+            idfs[r] = idf
+        idfs_d = jax.device_put(
+            idfs, NamedSharding(self.mesh, P("queries")))
+
+        uniq_terms = list(dict.fromkeys(
+            t for _, tids, _ in chunk for t in tids))
+        _, C = shard_plane_geom(self)
+        if len(uniq_terms) <= C - 1:
+            ensure_shard_planes(self, uniq_terms, pin=uniq_terms)
+            slots = np.zeros((Qp, T), np.int32)
+            for r, (qi, tids, idf) in enumerate(chunk):
+                slots[r] = [self.plane_slot[t] for t in tids]
+            slots[Qg:] = slots[0] if Qg else 0
+            # pooled program key drops the posting bucket
+            skey = gkey[:-1]
+            fn = _sharded_pooled_group_fn(self, skey, Qp, kind, k1, b)
+            slots_d = jax.device_put(
+                slots, NamedSharding(self.mesh, P("queries", None)))
+            return fn(self.plane_pool, self.doc_lens, slots_d, idfs_d)[:Qg]
+
         S = self.num_shards
         offs = np.zeros((S, Qp, T), np.int64)
         ns = np.zeros((S, Qp, T), np.int64)
-        idfs = np.zeros(Qp, np.float32)
         offsets_h = np.asarray(self.offsets)
         for r, (qi, tids, idf) in enumerate(chunk):
-            idfs[r] = idf
             offs[:, r, :] = offsets_h[:, tids]
             ns[:, r, :] = self._host_lengths[:, tids]
         fn = _sharded_phrase_group_fn(self, gkey, Qp, kind, k1, b)
         shq = NamedSharding(self.mesh, P("docs", "queries", None))
         offs_d = jax.device_put(offs, shq)
         ns_d = jax.device_put(ns, shq)
-        idfs_d = jax.device_put(idfs,
-                                NamedSharding(self.mesh, P("queries")))
         return fn(self.hdrs, self.pays, self.doc_lens, offs_d, ns_d,
                   idfs_d)[:Qg]
 
@@ -494,6 +533,205 @@ class ShardedIndex:
             return jnp.zeros(self.corpus_size, dtype=jnp.float32)
         tids = [self.vocab.get_term_id(t) for t in tokens]
         return self._span_tids(tids, slop, kind=kind, k1=k1, b=b)
+
+
+# ---------------------------------------------------------------------------
+# per-shard plane pool
+# ---------------------------------------------------------------------------
+SHARD_POOL_BYTES = 1 << 30     # per-chip HBM budget for expanded planes
+SHARD_POOL_MAX_SLOTS = 256
+_SHARD_FILL_K = 32             # terms per fill dispatch (fixed row axis)
+
+_pool_cache: dict = {}
+
+
+def shard_plane_geom(idx: ShardedIndex):
+    """(NS_shard, capacity) of the per-shard plane pool."""
+    NS_shard = idx.max_shard_docs << idx.blk_bits
+    C = int(min(SHARD_POOL_MAX_SLOTS,
+                max(8, SHARD_POOL_BYTES // max(1, NS_shard * 4))))
+    return NS_shard, C
+
+
+def _init_shard_pool(idx: ShardedIndex) -> None:
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if idx.plane_pool is not None:
+        return
+    NS_shard, C = shard_plane_geom(idx)
+    sh = NamedSharding(idx.mesh, P("docs", None, None))
+
+    @functools.partial(jax.jit, out_shardings=sh)
+    def z():
+        return jnp.zeros((idx.num_shards, C, NS_shard), jnp.uint32)
+
+    idx.plane_pool = z()
+    idx.plane_free = list(range(C - 1, -1, -1))
+
+
+def _shard_fill_fn(idx: ShardedIndex, bucket: int, C: int):
+    """jit (pool donated): fill _SHARD_FILL_K term planes on every shard.
+
+    Slot ids are global (replicated): term t lands in the same pool row
+    on each chip, over that chip's local doc range."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    key = ("sfill", idx.corpus_size, idx.max_shard_docs, idx.blk_bits,
+           idx.num_shards, bucket, C)
+    fn = _pool_cache.get(key)
+    if fn is not None:
+        return fn
+
+    from searcharray_tpu.ops import kernels as K
+
+    NS_shard = idx.max_shard_docs << idx.blk_bits
+    blk_bits = idx.blk_bits
+
+    def local(pool_s, hdr_s, pay_s, offs_s, ns_s, slots, k_real):
+        pool0, hdr0, pay0 = pool_s[0], hdr_s[0], pay_s[0]
+        offs0, ns0 = offs_s[0], ns_s[0]
+
+        def body(i, pl):
+            def do(pl):
+                h, p = K.take_term_planes(hdr0, pay0, offs0[i], ns0[i],
+                                          bucket=bucket, blk_bits=blk_bits)
+                row = jnp.zeros(NS_shard, jnp.uint32).at[h].set(
+                    p, mode="drop", unique_indices=True,
+                    indices_are_sorted=True)
+                return jax.lax.dynamic_update_slice(pl, row[None, :],
+                                                    (slots[i], 0))
+
+            return jax.lax.cond(i < k_real, do, lambda x: x, pl)
+
+        return jax.lax.fori_loop(0, _SHARD_FILL_K, body, pool0)[None]
+
+    mapped = jax.shard_map(
+        local,
+        mesh=idx.mesh,
+        in_specs=(P("docs", None, None), P("docs", None), P("docs", None),
+                  P("docs", None), P("docs", None), P(), P()),
+        out_specs=P("docs", None, None),
+    )
+
+    run = jax.jit(mapped, donate_argnums=(0,))
+    _pool_cache[key] = run
+    return run
+
+
+def ensure_shard_planes(idx: ShardedIndex, tids, pin=()) -> None:
+    """Make every term's expanded plane pool-resident on all shards."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from searcharray_tpu.search.dense import _alloc_slots
+
+    _init_shard_pool(idx)
+    new = _alloc_slots(idx.plane_slot, idx.plane_free,
+                       set(pin) | set(tids), tids)
+    if not new:
+        return
+    C = idx.plane_pool.shape[1]
+    by_bucket: dict = {}
+    for t, s in new:
+        b = bucket_of(int(idx._host_lengths[:, t].max(initial=1)))
+        by_bucket.setdefault(b, []).append((t, s))
+    offsets_h = np.asarray(idx.offsets)
+    sh = NamedSharding(idx.mesh, P("docs", None))
+    for bucket, rows in by_bucket.items():
+        fn = _shard_fill_fn(idx, bucket, C)
+        for c0 in range(0, len(rows), _SHARD_FILL_K):
+            chunk = rows[c0: c0 + _SHARD_FILL_K]
+            offs = np.zeros((idx.num_shards, _SHARD_FILL_K), np.int64)
+            ns = np.zeros((idx.num_shards, _SHARD_FILL_K), np.int64)
+            slots = np.zeros(_SHARD_FILL_K, np.int32)
+            for r, (t, s) in enumerate(chunk):
+                offs[:, r] = offsets_h[:, t]
+                ns[:, r] = idx._host_lengths[:, t]
+                slots[r] = s
+            idx.plane_pool = fn(idx.plane_pool, idx.hdrs, idx.pays,
+                                jax.device_put(offs, sh),
+                                jax.device_put(ns, sh), slots,
+                                np.int32(len(chunk)))
+
+
+def _sharded_pooled_group_fn(idx: ShardedIndex, skey, Qp: int, kind: str,
+                             k1: float, b: float):
+    """shard_map program for a phrase/span group over POOLED planes:
+    (pool, doc_lens, slots int32[Qp, T], idfs[Qp]) -> f32[Qp, N].
+
+    Gathers each query's term planes from the per-shard pool — no
+    per-query scatter-expansion, and the program key drops the posting
+    bucket (pool rows are bucket-free), so group classes collapse
+    further than the expansion path's."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    key = ("pgroup_pool", idx.corpus_size, idx.max_shard_docs,
+           idx.blk_bits, idx.num_shards, float(idx.avg_doc_length), skey,
+           Qp, kind, k1, b)
+    fn = _pool_cache.get(key)
+    if fn is not None:
+        return fn
+
+    from searcharray_tpu.search.dense import (
+        phrase_counts_dense_planes,
+        span_counts_dense_planes,
+    )
+    from searcharray_tpu.search.scoring import apply_similarity_device
+
+    T = skey[1]
+    N_shard = idx.max_shard_docs
+    S_blk = 1 << idx.blk_bits
+    avgdl = np.float32(max(idx.avg_doc_length, 1e-38))
+    if skey[0] == "phrase":
+        _, _, plan_key, pattern = skey
+        plan = [(d, list(idxs)) for d, idxs in plan_key]
+        pattern_l = list(pattern)
+
+        def reduce_planes(planes):
+            return phrase_counts_dense_planes(planes, pattern_l, plan,
+                                              N_shard, S_blk)
+    else:  # span
+        _, _, anchor_i, w, mults = skey
+
+        def reduce_planes(planes):
+            return span_counts_dense_planes(planes, anchor_i, w, N_shard,
+                                            S_blk, mults=mults)
+
+    def local(pool_s, doc_lens_s, slots_q, idfs_q):
+        pool0, doc_lens0 = pool_s[0], doc_lens_s[0]
+        planes = [jnp.take(pool0, slots_q[:, t], axis=0)
+                  for t in range(T)]  # [Qq, NS_shard] each
+        freqs = reduce_planes(planes)
+        out = apply_similarity_device(kind, freqs, doc_lens0[None, :],
+                                      idfs_q[:, None], avgdl, k1, b)
+        return out[None]
+
+    mapped = jax.shard_map(
+        local,
+        mesh=idx.mesh,
+        in_specs=(P("docs", None, None), P("docs", None),
+                  P("queries", None), P("queries")),
+        out_specs=P("docs", "queries", None),
+    )
+
+    num_real = idx.corpus_size
+
+    @jax.jit
+    def run(pool, doc_lens, slots, idfs):
+        out = mapped(pool, doc_lens, slots, idfs)
+        out = jnp.moveaxis(out, 0, 1)  # [S, Qp, N_shard] -> [Qp, S, ...]
+        return out.reshape(out.shape[0], -1)[:, :num_real]
+
+    _pool_cache[key] = run
+    return run
 
 
 _span_shard_cache: dict = {}

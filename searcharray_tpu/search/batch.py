@@ -515,8 +515,7 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
                 continue
             if allow_candidates and C.eligible_phrase(dev, uniq, top_k):
                 rarest_i = uniq.index(C.rows_source(dev, uniq))
-                srcs = tuple(C.term_source(dev, u_lens[i])
-                             for i in range(len(uniq)))
+                srcs = C.query_sources(dev, u_lens)
                 rb = K.expand_bucket_of(u_lens[rarest_i])
                 gkey = ("cspan", len(uniq), anchor_i, w, mkey, srcs,
                         rb, rb, rarest_i)
@@ -559,8 +558,7 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
             pattern = tuple(tids.index(t) for t in tids)
             if allow_candidates and C.eligible_phrase(dev, tids, top_k):
                 rarest_i = tids.index(C.rows_source(dev, tids))
-                srcs = tuple(C.term_source(dev, lengths[i])
-                             for i in range(len(tids)))
+                srcs = C.query_sources(dev, lengths)
                 rb = K.expand_bucket_of(lengths[rarest_i])
                 gkey = ("cphrase", len(tids), plan_key, pattern, srcs,
                         rb, rb, rarest_i)
@@ -825,10 +823,14 @@ def score_batch_fused(dev: DeviceIndex,
         # docs, unbounded over a live tail) — per-class programs converge
         # to a fixed warm set instead.  Dense specs keep fusing: their
         # keys (dterm + a handful of phrase/span shapes) are stable.
-        dense_w = [s for s in wave
-                   if s["gkey"][0] in ("dterm", "dphrase", "dspan")]
-        cand_w = [s for s in wave
-                  if s["gkey"][0] in ("cterm", "cphrase", "cspan")]
+        # cterm classes are only the posting buckets x the Qp ladder, so
+        # their contribution to the super key converges over a serving
+        # tail — fuse them below the super-fuse corpus ceiling
+        fuse_ct = dev.corpus_size <= _SUPER_FUSE_MAX_DOCS
+        dense_kinds = (("dterm", "dphrase", "dspan", "cterm") if fuse_ct
+                       else ("dterm", "dphrase", "dspan"))
+        dense_w = [s for s in wave if s["gkey"][0] in dense_kinds]
+        cand_w = [s for s in wave if s["gkey"][0] not in dense_kinds]
         outs = []
         if dense_w:
             if (gather_bytes <= _SUPER_FUSE_BYTES

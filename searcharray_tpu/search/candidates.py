@@ -49,6 +49,12 @@ from searcharray_tpu.ops import kernels as K
 # candidate count at most corpus/CAND_MAX_FRAC).  Tests force it on tiny
 # corpora by patching CAND_MIN_DOCS.
 CAND_MIN_DOCS = 1 << 19
+# Single-term candidate scoring turns on earlier: a rare term's cterm
+# program skips the tf-pool fill a cold term otherwise pays per batch
+# (the serving tail cycles terms faster than any pool retains them), and
+# cterm classes are just the 4-ish posting buckets — stable enough to
+# stay fused in the batch super-program without churning its key.
+CAND_TERM_MIN_DOCS = 1 << 16
 CAND_MAX_FRAC = 8
 MINI_MAX_WORDS = 1 << 18  # mini-source ceiling (bucketed words)
 
@@ -121,15 +127,30 @@ def rows_source(dev: DeviceIndex, tids: Sequence[int]) -> int:
 
 def term_source(dev: DeviceIndex, n_words: int):
     """Per-term mini-plane source: coarse posting bucket for the
-    in-program searchsorted alignment, or "pool" for stopword-sized terms
-    (gathered from their pooled full plane)."""
+    in-program alignment, or "pool" for stopword-sized terms (gathered
+    from their pooled full plane)."""
     b = K.expand_bucket_of(max(1, n_words))
     return "pool" if b > MINI_MAX_WORDS else b
 
 
+def query_sources(dev: DeviceIndex, lens: Sequence[int]) -> tuple:
+    """Collapsed per-term sources for one candidate query.
+
+    Every mini-source term pads to the query's LARGEST mini bucket: the
+    srcs tuple sits in the group key, so per-term granularity minted one
+    compile class per docfreq combination — a live rare-term tail then
+    launches (and at 8.8M-doc shapes, compiles) a fresh program per
+    batch.  Collapsing costs only padded slice words (bounded by
+    MINI_MAX_WORDS) and leaves one class per (pool pattern, max bucket).
+    """
+    raw = [term_source(dev, n) for n in lens]
+    mini_max = max((s for s in raw if s != "pool"), default=0)
+    return tuple("pool" if s == "pool" else mini_max for s in raw)
+
+
 def eligible_term(dev: DeviceIndex, tid: int, top_k: Optional[int]) -> bool:
     N = dev.corpus_size
-    if N < CAND_MIN_DOCS:
+    if N < CAND_TERM_MIN_DOCS:
         return False
     kc = kc_bucket(dev, tid)
     if top_k is not None and top_k > kc:

@@ -50,6 +50,7 @@ def forced(request, monkeypatch):
     corpora).  FRAC=0 lifts the selectivity gate (the 4096-row
     candidate-buffer floor exceeds these tiny test corpora)."""
     monkeypatch.setattr(cand_mod, "CAND_MIN_DOCS", 0)
+    monkeypatch.setattr(cand_mod, "CAND_TERM_MIN_DOCS", 0)
     monkeypatch.setattr(cand_mod, "CAND_MAX_FRAC", 0)
     if request.param == "mixed":
         monkeypatch.setattr(cand_mod, "MINI_MAX_WORDS", 2048)
@@ -146,6 +147,7 @@ def test_eligibility_gates(docs):
     mp = _pytest.MonkeyPatch()
     try:
         mp.setattr(cand_mod, "CAND_MIN_DOCS", 0)
+        mp.setattr(cand_mod, "CAND_TERM_MIN_DOCS", 0)
         # selectivity gate: a hot term's buffer exceeds corpus/FRAC
         assert not cand_mod.eligible_term(dev, hot, None)
         mp.setattr(cand_mod, "CAND_MAX_FRAC", 0)
@@ -155,6 +157,26 @@ def test_eligibility_gates(docs):
             dev, rare, cand_mod.kc_bucket(dev, rare) + 1)
     finally:
         mp.undo()
+
+
+def test_class_keys_converge(docs, forced):
+    """A live rare-term tail must not mint unbounded candidate classes:
+    group keys quantize to (pool pattern, max mini bucket, Kc ladder), so
+    varied same-shaped queries collapse onto few keys (each key is a
+    compiled program — at 8.8M shapes, minutes of XLA per extra key)."""
+    rng = np.random.default_rng(7)
+    keys = set()
+    for trial in range(12):
+        picks = rng.choice(300, size=4, replace=False)
+        qs = [[f"r{picks[0]}", f"r{picks[1]}"],
+              [f"r{picks[2]}", "hot1", f"r{picks[3]}"]]
+        tids = [docs._resolve_tids(q) for q in qs]
+        groups, _, _ = batch_mod._classify(docs.dev, tids, "bm25",
+                                           allow_candidates=True)
+        keys |= {k for k in groups if k[0] in ("cphrase", "cterm")}
+    # 12 varied trials x 2 shapes: bounded by (rarest position x split x
+    # Kc bucket) combos, nowhere near one-key-per-trial growth
+    assert len(keys) <= 10, sorted(keys)
 
 
 def test_candidate_slop_parity(docs, forced):

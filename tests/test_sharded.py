@@ -176,10 +176,10 @@ def test_sharded_batch_groups_one_program_per_shape(corpus, single):
         + [["alpha", "beta", "gamma"]]
         + ["alpha", "beta", "missingterm"]
     )
-    before = {k for k in sharded_mod._phrase_shard_cache if k[0] == "pgroup"}
+    before = {k for k in sharded_mod._pool_cache if k[0] == "pgroup_pool"}
     got = arr.score_batch(queries)
-    after = {k for k in sharded_mod._phrase_shard_cache if k[0] == "pgroup"}
-    # 9 bigrams share ONE program; the trigram adds one more
+    after = {k for k in sharded_mod._pool_cache if k[0] == "pgroup_pool"}
+    # 9 bigrams share ONE pooled group program; the trigram adds one more
     assert len(after - before) == 2
     sarr = SearchArray.index(corpus)
     for i, q in enumerate(queries):
@@ -224,3 +224,40 @@ def test_sharded_batch_slop_groups(corpus):
     dense = np.stack([np.asarray(sarr.score(q, slop=1)) for q in queries])
     np.testing.assert_allclose(
         scores, np.sort(dense, axis=1)[:, ::-1][:, :5], rtol=1e-5, atol=1e-6)
+
+
+def test_shard_pool_residency_and_eviction(corpus, single):
+    """Repeated batches reuse pool-resident planes (no new fills); a
+    chunk whose terms exceed the pool capacity falls back to the
+    in-program expansion path with identical scores."""
+    from searcharray_tpu.parallel import sharded as sharded_mod
+
+    arr = SearchArray.index(corpus, mesh=default_mesh())
+    sarr = SearchArray.index(corpus)
+    queries = [["alpha", "beta"], ["gamma", "delta"]] * 2
+    arr.score_batch(queries)
+    sidx = arr._state.sharded
+    assert sidx.plane_pool is not None
+    resident = dict(sidx.plane_slot)
+    arr.score_batch(queries)  # same terms: slots must not move
+    assert dict(sidx.plane_slot) == resident
+    # shrink the pool below the chunk's term count: fallback path
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(sharded_mod, "SHARD_POOL_MAX_SLOTS", 2)
+        mp.setattr(sharded_mod, "SHARD_POOL_BYTES", 1)
+        sidx.plane_pool = None
+        sidx.plane_slot.clear()
+        sidx.plane_free = []
+        got = arr.score_batch(queries)
+        for i, q in enumerate(queries):
+            np.testing.assert_allclose(
+                got[i], np.asarray(sarr.score(q)), rtol=1e-5, atol=1e-6)
+        assert sidx.plane_pool is None  # expansion path, pool untouched
+    finally:
+        mp.undo()
+        sidx.plane_pool = None
+        sidx.plane_slot.clear()
+        sidx.plane_free = []
