@@ -140,6 +140,50 @@ def bench_all():
         out = docs.score_batch([["w1", "w2"], ["w3", "w4", "w5"]])
     results["phrase_chain_batch_ms"] = (time.perf_counter() - t0) / 5 * 1e3
 
+    # --- candidate alignment: imap (one-scatter doc->index map + one
+    # gather round) vs searchsorted (log2(Kc) dependent-gather rounds).
+    # Claim (CLAUDE.md round-3 traps): imap is 3-8x faster above ~4k
+    # lookups.  R inner repetitions per dispatch via lax.scan — a
+    # dispatch-timed loop would only measure the ~9 ms tunnel enqueue.
+    Nc, Kc, bucket, Qp, R = 1_000_000, 16384, 16384, 16, 10
+    rows_np = np.stack([np.sort(rng.choice(Nc, Kc, replace=False))
+                        for _ in range(Qp)]).astype(np.int32)
+    keys2_np = np.sort(rng.integers(0, Nc - R, (Qp, bucket)),
+                       axis=1).astype(np.int32)
+    rows_a, keys_a = jnp.asarray(rows_np), jnp.asarray(keys2_np)
+
+    def scanned(body):
+        @jax.jit
+        def fsc(r, k):
+            def step(acc, i):
+                return acc + body(r, k + i).sum(), None
+            acc, _ = jax.lax.scan(step, jnp.float32(0),
+                                  jnp.arange(R, dtype=jnp.int32))
+            return acc
+        return fsc
+
+    def ss_body(r, k):
+        def one(r1, k1):
+            ci = jnp.searchsorted(r1, k1).astype(jnp.int32)
+            ci_c = jnp.clip(ci, 0, Kc - 1)
+            return jnp.where(jnp.take(r1, ci_c) == k1, ci_c,
+                             Kc).astype(jnp.float32)
+        return jax.vmap(one)(r, k)
+
+    def imap_body(r, k):
+        def one(r1, k1):
+            imap = jnp.full(Nc, jnp.int32(-1)).at[r1].set(
+                jnp.arange(Kc, dtype=jnp.int32), mode="drop",
+                indices_are_sorted=True)
+            ci = jnp.take(imap, k1, mode="clip")
+            return jnp.where(ci >= 0, ci, Kc).astype(jnp.float32)
+        return jax.vmap(one)(r, k)
+
+    results["align_searchsorted_ms"] = timeit(
+        scanned(ss_body), rows_a, keys_a) / R * 1e3
+    results["align_imap_ms"] = timeit(
+        scanned(imap_body), rows_a, keys_a) / R * 1e3
+
     return results
 
 
