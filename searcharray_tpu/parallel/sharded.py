@@ -78,6 +78,12 @@ class ShardedIndex:
         self.plane_pool = None
         self.plane_slot: "OrderedDict[int, int]" = OrderedDict()
         self.plane_free: list = []
+        # Per-shard tf pool: f32[S, Ct, N_shard] — cached per-term tf
+        # vectors, so repeat terms across batches score as one row
+        # gather + similarity instead of re-running slice+scatter.
+        self.tf_pool = None
+        self.tf_slot: "OrderedDict[int, int]" = OrderedDict()
+        self.tf_free: list = []
 
     # ------------------------------------------------------------------
     @classmethod
@@ -451,11 +457,14 @@ class ShardedIndex:
 
     def _score_terms(self, tids_np: np.ndarray, idfs_np: np.ndarray,
                      kind: str, k1: float, b: float):
-        """One-term-per-query batch with host-side idfs -> [Qt, N]."""
+        """One-term-per-query batch with host-side idfs -> [Qt, N].
+
+        Terms go through the per-shard tf pool when the batch fits
+        (repeat terms across batches then cost one row gather each);
+        oversized batches fall back to the slice+scatter program."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        bucket = self._max_bucket_for(tids_np)
         qaxis = self.mesh.shape["queries"]
         Q = len(tids_np)
         Qp = -(-Q // qaxis) * qaxis
@@ -464,6 +473,21 @@ class ShardedIndex:
                 [tids_np, np.full(Qp - Q, -1, dtype=np.int64)])
             idfs_np = np.concatenate(
                 [idfs_np, np.zeros(Qp - Q, dtype=np.float32)])
+        uniq_terms = [int(t) for t in dict.fromkeys(tids_np) if t >= 0]
+        _, Ct = shard_tf_geom(self)
+        if uniq_terms and len(uniq_terms) <= Ct - 1:
+            ensure_shard_tfs(self, uniq_terms, pin=uniq_terms)
+            fill = self.tf_slot[uniq_terms[0]]
+            slots = np.asarray(
+                [self.tf_slot[int(t)] if t >= 0 else fill
+                 for t in tids_np], np.int32)
+            fn = _sharded_pooled_term_fn(self, Qp, kind, k1, b)
+            sh = NamedSharding(self.mesh, P("queries"))
+            out = fn(self.tf_pool, self.doc_lens,
+                     jax.device_put(slots, sh),
+                     jax.device_put(idfs_np, sh))
+            return out[:Q]
+        bucket = self._max_bucket_for(tids_np)
         key = ("terms1", self.corpus_size, self.max_shard_docs,
                self.blk_bits, self.num_shards, float(self.avg_doc_length),
                Qp, bucket, kind, k1, b)
@@ -658,6 +682,166 @@ def ensure_shard_planes(idx: ShardedIndex, tids, pin=()) -> None:
                                 jax.device_put(offs, sh),
                                 jax.device_put(ns, sh), slots,
                                 np.int32(len(chunk)))
+
+
+SHARD_TF_POOL_BYTES = 256 << 20   # per-chip budget for cached tf rows
+SHARD_TF_MAX_SLOTS = 1024
+_SHARD_TF_FILL_K = 32
+
+
+def shard_tf_geom(idx: ShardedIndex):
+    Ct = int(min(SHARD_TF_MAX_SLOTS,
+                 max(8, SHARD_TF_POOL_BYTES // max(1, idx.max_shard_docs * 4))))
+    return idx.max_shard_docs, Ct
+
+
+def _init_shard_tf_pool(idx: ShardedIndex) -> None:
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if idx.tf_pool is not None:
+        return
+    N_shard, Ct = shard_tf_geom(idx)
+    sh = NamedSharding(idx.mesh, P("docs", None, None))
+
+    @functools.partial(jax.jit, out_shardings=sh)
+    def z():
+        return jnp.zeros((idx.num_shards, Ct, N_shard), jnp.float32)
+
+    idx.tf_pool = z()
+    idx.tf_free = list(range(Ct - 1, -1, -1))
+
+
+def _shard_tf_fill_fn(idx: ShardedIndex, bucket: int, Ct: int):
+    """jit (pool donated): fill _SHARD_TF_FILL_K tf rows on every shard."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    key = ("stfill", idx.corpus_size, idx.max_shard_docs, idx.blk_bits,
+           idx.num_shards, bucket, Ct)
+    fn = _pool_cache.get(key)
+    if fn is not None:
+        return fn
+
+    from searcharray_tpu.ops import kernels as K
+
+    N_shard = idx.max_shard_docs
+    blk_bits = idx.blk_bits
+
+    def local(pool_s, hdr_s, pay_s, offs_s, ns_s, slots, k_real):
+        pool0, hdr0, pay0 = pool_s[0], hdr_s[0], pay_s[0]
+        offs0, ns0 = offs_s[0], ns_s[0]
+
+        def body(i, pl):
+            def do(pl):
+                h, p = K.take_term_planes(hdr0, pay0, offs0[i], ns0[i],
+                                          bucket=bucket, blk_bits=blk_bits)
+                keys = (h >> jnp.int32(blk_bits)).astype(jnp.int32)
+                pops = jax.lax.population_count(p).astype(jnp.float32)
+                row = jnp.zeros(N_shard, jnp.float32).at[keys].add(
+                    pops, mode="drop")
+                return jax.lax.dynamic_update_slice(pl, row[None, :],
+                                                    (slots[i], 0))
+
+            return jax.lax.cond(i < k_real, do, lambda x: x, pl)
+
+        return jax.lax.fori_loop(0, _SHARD_TF_FILL_K, body, pool0)[None]
+
+    mapped = jax.shard_map(
+        local,
+        mesh=idx.mesh,
+        in_specs=(P("docs", None, None), P("docs", None), P("docs", None),
+                  P("docs", None), P("docs", None), P(), P()),
+        out_specs=P("docs", None, None),
+    )
+
+    run = jax.jit(mapped, donate_argnums=(0,))
+    _pool_cache[key] = run
+    return run
+
+
+def ensure_shard_tfs(idx: ShardedIndex, tids, pin=()) -> None:
+    """Make every term's tf row pool-resident on all shards."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from searcharray_tpu.search.dense import _alloc_slots
+
+    _init_shard_tf_pool(idx)
+    new = _alloc_slots(idx.tf_slot, idx.tf_free, set(pin) | set(tids), tids)
+    if not new:
+        return
+    Ct = idx.tf_pool.shape[1]
+    by_bucket: dict = {}
+    for t, s in new:
+        b = bucket_of(int(idx._host_lengths[:, t].max(initial=1)))
+        by_bucket.setdefault(b, []).append((t, s))
+    offsets_h = np.asarray(idx.offsets)
+    sh = NamedSharding(idx.mesh, P("docs", None))
+    for bucket, rows in by_bucket.items():
+        fn = _shard_tf_fill_fn(idx, bucket, Ct)
+        for c0 in range(0, len(rows), _SHARD_TF_FILL_K):
+            chunk = rows[c0: c0 + _SHARD_TF_FILL_K]
+            offs = np.zeros((idx.num_shards, _SHARD_TF_FILL_K), np.int64)
+            ns = np.zeros((idx.num_shards, _SHARD_TF_FILL_K), np.int64)
+            slots = np.zeros(_SHARD_TF_FILL_K, np.int32)
+            for r, (t, s) in enumerate(chunk):
+                offs[:, r] = offsets_h[:, t]
+                ns[:, r] = idx._host_lengths[:, t]
+                slots[r] = s
+            idx.tf_pool = fn(idx.tf_pool, idx.hdrs, idx.pays,
+                             jax.device_put(offs, sh),
+                             jax.device_put(ns, sh), slots,
+                             np.int32(len(chunk)))
+
+
+def _sharded_pooled_term_fn(idx: ShardedIndex, Qp: int, kind: str,
+                            k1: float, b: float):
+    """shard_map program: (tf_pool, doc_lens, slots int32[Qp], idfs[Qp])
+    -> f32[Qp, N] — one row gather + similarity per query."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    key = ("tgroup_pool", idx.corpus_size, idx.max_shard_docs,
+           idx.num_shards, float(idx.avg_doc_length), Qp, kind, k1, b)
+    fn = _pool_cache.get(key)
+    if fn is not None:
+        return fn
+
+    from searcharray_tpu.search.scoring import apply_similarity_device
+
+    avgdl = np.float32(max(idx.avg_doc_length, 1e-38))
+
+    def local(pool_s, doc_lens_s, slots_q, idfs_q):
+        pool0, doc_lens0 = pool_s[0], doc_lens_s[0]
+        tfs = jnp.take(pool0, slots_q, axis=0)  # [Qq, N_shard]
+        out = apply_similarity_device(kind, tfs, doc_lens0[None, :],
+                                      idfs_q[:, None], avgdl, k1, b)
+        return out[None]
+
+    mapped = jax.shard_map(
+        local,
+        mesh=idx.mesh,
+        in_specs=(P("docs", None, None), P("docs", None), P("queries"),
+                  P("queries")),
+        out_specs=P("docs", "queries", None),
+    )
+
+    num_real = idx.corpus_size
+
+    @jax.jit
+    def run(pool, doc_lens, slots, idfs):
+        out = mapped(pool, doc_lens, slots, idfs)
+        out = jnp.moveaxis(out, 0, 1)
+        return out.reshape(out.shape[0], -1)[:, :num_real]
+
+    _pool_cache[key] = run
+    return run
 
 
 def _sharded_pooled_group_fn(idx: ShardedIndex, skey, Qp: int, kind: str,

@@ -261,3 +261,20 @@ def test_shard_pool_residency_and_eviction(corpus, single):
         sidx.plane_pool = None
         sidx.plane_slot.clear()
         sidx.plane_free = []
+
+
+def test_shard_tf_pool_residency(corpus, single):
+    """Term batches cache tf rows in the per-shard tf pool; repeats keep
+    their slots, and scores stay in parity with the single chip."""
+    arr = SearchArray.index(corpus, mesh=default_mesh())
+    sarr = SearchArray.index(corpus)
+    queries = ["alpha", "gamma", "zeta", "alpha"]
+    got = arr.score_batch(queries)
+    sidx = arr._state.sharded
+    assert sidx.tf_pool is not None
+    resident = dict(sidx.tf_slot)
+    got = arr.score_batch(queries)
+    assert dict(sidx.tf_slot) == resident
+    for i, q in enumerate(queries):
+        np.testing.assert_allclose(got[i], np.asarray(sarr.score(q)),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(q))
