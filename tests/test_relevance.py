@@ -137,6 +137,7 @@ def test_mrr_with_candidate_engine(corpus, monkeypatch):
     from searcharray_tpu.search import candidates as cand_mod
 
     monkeypatch.setattr(cand_mod, "CAND_MIN_DOCS", 0)
+    monkeypatch.setattr(cand_mod, "CAND_TERM_MIN_DOCS", 0)
     monkeypatch.setattr(cand_mod, "CAND_MAX_FRAC", 0)
     arr = SearchArray.index(corpus)
     oracle = NumpyBM25Oracle(corpus)
