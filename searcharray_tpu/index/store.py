@@ -133,6 +133,14 @@ def load_index(directory: str, mmap: bool = True) -> BuiltIndex:
         for line in f:
             vocab.add_term(json.loads(line))
     derived = None
+    if version < 3 and meta["num_docs"] >= 1_000_000:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "index %s is a v%d store: device attach will re-derive the "
+            "posting planes (minutes of host time at this scale). Run "
+            "scripts/upgrade_store_v3.py %s once to persist them.",
+            directory, version, directory)
     if version >= 3:
         mode = "r" if mmap else None
         derived = {
