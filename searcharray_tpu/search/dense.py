@@ -366,14 +366,6 @@ def tf_slots_of(dev: DeviceIndex, tids: Sequence[int]) -> np.ndarray:
     return np.asarray([dev.tf_slot[t] for t in tids], np.int32)
 
 
-def expand_term(dev: DeviceIndex, term_id: int):
-    """Dense payload plane for one term (a pool-row view; one slice
-    dispatch — batch paths should gather from the pool inside their own
-    programs instead)."""
-    ensure_planes(dev, [term_id])
-    return dev.plane_pool[dev.plane_slot[term_id]]
-
-
 # ---------------------------------------------------------------------------
 # chain math (slot-aligned mirrors of phrase._merge_step/_same_term_step)
 # ---------------------------------------------------------------------------
@@ -771,54 +763,6 @@ def term_tf(dev: DeviceIndex, term_id: int):
     else:
         cache.move_to_end(term_id)
     return arr
-
-
-def phrase_group_subset_fn(dev: DeviceIndex, T: int, plan_key: tuple,
-                           pattern: tuple, kind: str, k1: float, b: float,
-                           top_k: Optional[int]):
-    """jit: (pool, slots int32[Qg, T], rows int32[Cp], doc_lens, idfs[Qg],
-    avgdl) -> scores over the candidate rows only.
-
-    The candidate-pruned phrase phase (reference intent at
-    `/root/reference/searcharray/solr.py:328-338`): planes are gathered at
-    the candidate docs' slot ranges, so chain cost is proportional to the
-    number of matching rows, not the corpus."""
-    import jax
-
-    key = ("dphrase_sub", dev.corpus_size, dev.blk_bits, T, plan_key,
-           pattern, kind, k1, b, top_k)
-    fn = _jit_cache.get(key)
-    if fn is not None:
-        return fn
-
-    def f(pool, slots, rows, doc_lens, idfs, avgdl):
-        return phrase_group_body(dev, T, plan_key, pattern, kind, k1, b,
-                                 top_k, pool, slots, doc_lens, idfs, avgdl,
-                                 rows=rows)
-
-    fn = jax.jit(f)
-    _jit_cache[key] = fn
-    return fn
-
-
-def term_group_subset_fn(dev: DeviceIndex, kind: str, k1: float, b: float,
-                         top_k: Optional[int]):
-    """jit: (tfpool f32[Ct, N], slots int32[Qg], rows int32[Cp], doc_lens,
-    idfs) -> scores over candidate rows (gather + similarity)."""
-    import jax
-
-    key = ("dterm_sub", dev.corpus_size, kind, k1, b, top_k)
-    fn = _jit_cache.get(key)
-    if fn is not None:
-        return fn
-
-    def f(tfpool, slots, rows, doc_lens, idfs, avgdl):
-        return term_group_body(kind, k1, b, top_k, tfpool, slots, doc_lens,
-                               idfs, avgdl, rows=rows)
-
-    fn = jax.jit(f)
-    _jit_cache[key] = fn
-    return fn
 
 
 def term_group_fn(dev: DeviceIndex, kind: str, k1: float, b: float,
