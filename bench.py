@@ -217,53 +217,53 @@ def main():
     assert scores.shape == (len(mixed), 10)
     results["batched_topk"] = topk_qps
 
-    # Serving batches: 120 queries per request (hot stopword phrases + a
-    # long tail of varied rare terms/bigrams), top-10 each.  Each rep uses
-    # a different variant set so term caches are exercised the way a live
-    # tail would, not memorized.
+    # Serving batches: 144 queries per request — 120 exact (hot stopword
+    # phrases + a long tail of varied rare terms/bigrams) + 24 slop-2
+    # phrases, submitted as ONE mixed batch per request (per-query slop),
+    # top-10 each.  Each rep uses a different variant set so term caches
+    # are exercised the way a live tail would, not memorized.
+    def serving_mixed(r):
+        return (serving_queries(r) + slop_queries(r),
+                [0] * 120 + [2] * 24)
+
     log("warming serving shapes...")
     reps = 20
     # warm pass over the exact measured variant sets: the measurement is
     # steady-state serving, not first-contact compiles (those are the
     # offline warm_serving story)
     for w in list(range(reps)) + [1000 + r for r in range(reps)]:
-        docs.score_batch(serving_queries(w), top_k=10)
-        docs.score_batch(slop_queries(w), top_k=10, slop=2)
+        batch, slops = serving_mixed(w)
+        docs.score_batch(batch, top_k=10, slop=slops)
     t0 = time.perf_counter()
     n_q = 0
     for r in range(reps):
-        batch = serving_queries(r)
-        scores, idx = docs.score_batch(batch, top_k=10)
+        batch, slops = serving_mixed(r)
+        scores, idx = docs.score_batch(batch, top_k=10, slop=slops)
         n_q += len(batch)
-        sbatch = slop_queries(r)
-        s_scores, _ = docs.score_batch(sbatch, top_k=10, slop=2)
-        n_q += len(sbatch)
     serving_qps = n_q / (time.perf_counter() - t0)
-    log(f"serving 120+24-query batches (incl slop): {n_q} queries -> "
+    log(f"serving 144-query mixed batches (incl slop): {n_q} queries -> "
         f"{serving_qps:.2f} qps")
-    assert scores.shape == (120, 10) and s_scores.shape == (24, 10)
+    assert scores.shape == (144, 10)
     results["serving"] = serving_qps
 
     # Pipelined serving: submit every batch (block=False), then collect —
     # the per-batch device-to-host round trip overlaps the next batches'
     # compute, as a real request loop would run.
-    docs.score_batch(serving_queries(98), top_k=10, block=False)()
+    b98, s98 = serving_mixed(98)
+    docs.score_batch(b98, top_k=10, slop=s98, block=False)()
     reps = 20
     t0 = time.perf_counter()
     n_q = 0
     handles = []
     for r in range(reps):
-        batch = serving_queries(1000 + r)
-        handles.append(docs.score_batch(batch, top_k=10, block=False))
-        n_q += len(batch)
-        sbatch = slop_queries(1000 + r)
-        handles.append(docs.score_batch(sbatch, top_k=10, slop=2,
+        batch, slops = serving_mixed(1000 + r)
+        handles.append(docs.score_batch(batch, top_k=10, slop=slops,
                                         block=False))
-        n_q += len(sbatch)
+        n_q += len(batch)
     out = [h() for h in handles]
     pipe_qps = n_q / (time.perf_counter() - t0)
     log(f"pipelined serving (incl slop): {n_q} queries -> {pipe_qps:.2f} qps")
-    assert out[-2][0].shape == (120, 10)
+    assert out[-1][0].shape == (144, 10)
     results["pipelined"] = pipe_qps
 
     qps = max(results.values())

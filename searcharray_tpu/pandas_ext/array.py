@@ -714,7 +714,7 @@ class SearchArray(ExtensionArray):
         )
 
     def score_batch(self, queries: List[Union[str, List[str]]],
-                    similarity: Similarity = default_bm25, slop: int = 0,
+                    similarity: Similarity = default_bm25, slop=0,
                     top_k: Optional[int] = None, block: bool = True):
         """Score a batch of queries (terms or phrases) with one host sync.
 
@@ -726,7 +726,11 @@ class SearchArray(ExtensionArray):
         k-selection is fused into the group programs and all groups'
         results cross the tunnel as one packed array.
 
-        With ``block=False`` (requires ``top_k``, exact-match queries, a
+        ``slop`` is an int applied to every query or a per-query sequence
+        — a serving request mixing exact and slop queries submits ONE
+        batch (one pool-fill wave) instead of a call per slop value.
+
+        With ``block=False`` (requires ``top_k``, a fused similarity, a
         full un-sliced view, single chip) the call returns a zero-arg
         ``collect()`` callable once all device work is enqueued; invoking
         it performs the one blocking transfer.  A serving loop that
@@ -735,6 +739,9 @@ class SearchArray(ExtensionArray):
         """
         import jax
 
+        slop_seq = None if np.isscalar(slop) else [int(s) for s in slop]
+        if slop_seq is not None and len(slop_seq) != len(queries):
+            raise ValueError("per-query slop length must match queries")
         fused = getattr(similarity, "_fused", None)
         full_view = not self.subset and len(self.rows) == self.corpus_size
         # validate block=False BEFORE any early return: a non-fused
@@ -746,15 +753,16 @@ class SearchArray(ExtensionArray):
                 "block=False requires top_k, a fused similarity, a full "
                 "un-sliced view, and a single chip")
         if fused is None:
+            slops = slop_seq or [slop] * len(queries)
             dense = np.stack(
-                [self.score(q, similarity=similarity, slop=slop)
-                 for q in queries]
+                [self.score(q, similarity=similarity, slop=s)
+                 for q, s in zip(queries, slops)]
             )
             if top_k is None:
                 return dense
             idx = np.argsort(dense, axis=1)[:, ::-1][:, :top_k]
             return np.take_along_axis(dense, idx, axis=1), idx
-        if slop == 0:
+        if slop_seq is None and slop == 0:
             kind, k1, b = fused
             qtids = []
             for q in queries:
@@ -827,10 +835,11 @@ class SearchArray(ExtensionArray):
                         np.asarray(idx, dtype=np.int64))
             return np.asarray(dense_dev, dtype=np.float32)
         # sliced views: per-query dispatches
+        slops = slop_seq or [slop] * len(queries)
         pending = [
-            self._score_fused(self._check_token_arg(q), fused, slop,
+            self._score_fused(self._check_token_arg(q), fused, s,
                               None, None)
-            for q in queries
+            for q, s in zip(queries, slops)
         ]
         if top_k is not None and full_view:
             k = min(top_k, len(self))

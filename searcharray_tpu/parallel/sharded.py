@@ -261,7 +261,7 @@ class ShardedIndex:
 
     def score_batch_device(self, queries_tids, kind: str = "bm25",
                            k1: float = 1.2, b: float = 0.75,
-                           slop: int = 0):
+                           slop=0):
         """Mixed term/phrase batch -> f32[Q, N] device array (sharded).
 
         The sharded counterpart of batch.score_batch_fused(as_device=True),
@@ -272,26 +272,33 @@ class ShardedIndex:
         dense chain).  Dispatch count therefore matches the single-chip
         driver's group count instead of the query count.  edismax composes
         on top of this transparently (solr.py), so the full query DSL runs
-        on a mesh.
+        on a mesh.  ``slop`` is an int for the whole batch or a per-query
+        sequence (mixed exact/slop batches).
         """
         import jax.numpy as jnp
 
         from searcharray_tpu.search.phrase import _plan
         from searcharray_tpu.search.scoring import host_idf
 
-        # dedup identical queries (serving batches repeat hot queries)
+        slops = ([int(slop)] * len(queries_tids) if np.isscalar(slop)
+                 else [int(s) for s in slop])
+        # dedup identical (query, slop) pairs (serving batches repeat
+        # hot queries)
         keymap: dict = {}
         uniq: list = []
+        uniq_slops: list = []
         expand: list = []
-        for tids in queries_tids:
-            kq = None if tids is None else tuple(tids)
+        for tids, sl in zip(queries_tids, slops):
+            kq = None if tids is None else (tuple(tids), sl)
             uid = keymap.get(kq)
             if uid is None:
                 uid = len(uniq)
                 keymap[kq] = uid
                 uniq.append(tids)
+                uniq_slops.append(sl)
             expand.append(uid)
         queries_tids = uniq
+        slops = uniq_slops
 
         from searcharray_tpu.ops.encoding import LSB_BITS
 
@@ -311,7 +318,8 @@ class ShardedIndex:
             lengths = [int(self._host_lengths[:, t].sum()) for t in tids]
             if min(lengths) == 0:
                 continue
-            if slop > 0:
+            sl = slops[qi]
+            if sl > 0:
                 uniq: list = []
                 mults: list = []
                 for t in tids:
@@ -320,11 +328,11 @@ class ShardedIndex:
                     else:
                         uniq.append(t)
                         mults.append(1)
-                w = len(tids) + slop - 1
+                w = len(tids) + sl - 1
                 if not (w <= LSB_BITS and max(mults) <= 2):
                     # wide/high-multiplicity windows: per-query span kernel
                     out = out.at[qi].set(self._span_tids(
-                        tids, slop, kind=kind, k1=k1, b=b, idf=float(idf)))
+                        tids, sl, kind=kind, k1=k1, b=b, idf=float(idf)))
                     continue
                 u_lens = [int(self._host_lengths[:, t].sum()) for t in uniq]
                 anchor_i = int(np.argmin(u_lens))

@@ -449,19 +449,21 @@ def score_phrase_cached_single(dev: DeviceIndex, tids: List[int], slop: int,
 
 def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
               kind: str, top_k: Optional[int] = None,
-              allow_candidates: bool = False, slop: int = 0):
+              allow_candidates: bool = False, slop=0):
     """Split queries into structure groups.
 
     Returns (groups, zero_rows, fallback): groups maps a structural key to
     a list of (query_index, offs[T], ns[T], idf, tids); zero_rows are
     queries that score all-zero (missing term / empty posting) host-side;
-    fallback are (qi, tids, idf) slop queries the grouped kernels cannot
-    take (wide windows, multiplicity > 2) — the driver dispatches those
-    through the per-query span kernel.
+    fallback are (qi, tids, idf, slop) slop queries the grouped kernels
+    cannot take (wide windows, multiplicity > 2) — the driver dispatches
+    those through the per-query span kernel.
 
-    With ``slop`` > 0, multi-term queries are slop-phrase groups
-    ("dspan" on pooled planes / "cspan" on candidate rows), keyed by
-    (unique-term count, anchor, window, multiplicities).
+    ``slop`` is an int applied to every query OR a per-query sequence
+    (mixed exact/slop serving batches group into one wave).  A query's
+    slop > 0 makes it a slop-phrase group ("dspan" on pooled planes /
+    "cspan" on candidate rows), keyed by (unique-term count, anchor,
+    window, multiplicities).
 
     Routing: with the dense block layout available (search/dense.py) term
     queries use cached tf vectors ("dterm") and exact phrases the
@@ -476,6 +478,8 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
     from searcharray_tpu.search import dense
 
     dense_ok = dense.dense_eligible(dev)
+    slops = ([int(slop)] * len(queries_tids) if np.isscalar(slop)
+             else [int(s) for s in slop])
     groups: dict = {}
     zero_rows: List[int] = []
     fallback: List[tuple] = []
@@ -492,7 +496,8 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
         idf = host_idf(kind, dfs, dev.corpus_size, dev.avg_doc_length)
         spans = [dev.term_span(t) for t in tids]
         lengths = [s[1] for s in spans]
-        if slop > 0 and len(tids) > 1:
+        sl = slops[qi]
+        if sl > 0 and len(tids) > 1:
             if min(lengths) == 0:
                 zero_rows.append(qi)
                 continue
@@ -508,10 +513,10 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
             u_lens = [s[1] for s in u_spans]
             u_dfs = [int(dev.doc_freqs[t]) for t in uniq]
             anchor_i = int(np.argmin(u_lens))
-            w = len(tids) + slop - 1
+            w = len(tids) + sl - 1
             mkey = tuple(mults)
             if not (w <= LSB_BITS and max(mults) <= 2):
-                fallback.append((qi, tids, idf))
+                fallback.append((qi, tids, idf, sl))
                 continue
             if allow_candidates and C.eligible_phrase(dev, uniq, top_k):
                 rarest_i = uniq.index(C.rows_source(dev, uniq))
@@ -520,7 +525,7 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
                 gkey = ("cspan", len(uniq), anchor_i, w, mkey, srcs,
                         rb, rb, rarest_i)
             elif dense_ok and dense.phrase_fits_pool(dev, uniq):
-                sig = (tuple(tids), slop)
+                sig = (tuple(tids), sl)
                 if _phrase_tf_route(dev, sig, uniq,
                                     ("phs", len(uniq), anchor_i, w, mkey),
                                     ptf_budget):
@@ -530,7 +535,7 @@ def _classify(dev: DeviceIndex, queries_tids: Sequence[Optional[List[int]]],
                     continue
                 gkey = ("dspan", len(uniq), anchor_i, w, mkey)
             else:
-                fallback.append((qi, tids, idf))
+                fallback.append((qi, tids, idf, sl))
                 continue
             row = (qi, np.asarray([s[0] for s in u_spans], np.int32),
                    np.asarray(u_lens, np.int32), idf, uniq)
@@ -591,15 +596,18 @@ def score_batch_fused(dev: DeviceIndex,
                       top_k: Optional[int] = None,
                       rows: Optional[np.ndarray] = None,
                       as_device: bool = False, defer: bool = False,
-                      slop: int = 0):
+                      slop=0):
     """Score a batch of resolved term-id queries in one program per group.
 
     ``queries_tids[i]`` is the list of term ids for query i (`-1` entries
     mark vocabulary misses, making the whole query score zero — parity
     with the single-query facade), or None for an unresolvable query.
-    With ``slop`` > 0 multi-term queries are slop phrases, grouped by
+    ``slop`` is an int for the whole batch or a per-query sequence: a
+    query with slop > 0 and multiple terms is a slop phrase, grouped by
     (unique terms, anchor, window, multiplicities); queries the grouped
     slop kernels cannot take fall back to per-query span dispatches.
+    Mixed exact/slop batches share one wave (one pool fill + fused
+    programs), which is how the serving loop submits each request.
 
     With ``rows`` (a candidate doc-id subset), the dense engine gathers
     planes/tf at those rows so compute is proportional to the subset
@@ -618,19 +626,24 @@ def score_batch_fused(dev: DeviceIndex,
     """
     import jax.numpy as jnp
 
-    # dedup identical queries: serving batches repeat hot queries, and a
-    # deduped batch scores each distinct query once (results fan back out
-    # below) — the batch-level analog of the reference's tf/df caches
+    slops = ([int(slop)] * len(queries_tids) if np.isscalar(slop)
+             else [int(s) for s in slop])
+    # dedup identical (query, slop) pairs: serving batches repeat hot
+    # queries, and a deduped batch scores each distinct one once (results
+    # fan back out below) — the batch-level analog of the reference's
+    # tf/df caches
     keymap: dict = {}
     uniq: List[Optional[List[int]]] = []
+    uniq_slops: List[int] = []
     expand: List[int] = []
-    for tids in queries_tids:
-        kq = None if tids is None else tuple(tids)
+    for tids, sl in zip(queries_tids, slops):
+        kq = None if tids is None else (tuple(tids), sl)
         uid = keymap.get(kq)
         if uid is None:
             uid = len(uniq)
             keymap[kq] = uid
             uniq.append(tids)
+            uniq_slops.append(sl)
         expand.append(uid)
     n_total = len(queries_tids)
     queries_tids = uniq
@@ -640,7 +653,7 @@ def score_batch_fused(dev: DeviceIndex,
     avgdl = np.float32(max(dev.avg_doc_length, 1e-38))
     groups, zero_rows, fb_rows = _classify(
         dev, queries_tids, kind, top_k=top_k,
-        allow_candidates=rows is None, slop=slop)
+        allow_candidates=rows is None, slop=uniq_slops)
     if dev.avg_doc_length == 0:
         zero_rows = list(range(Q))
         groups = {}
@@ -883,11 +896,11 @@ def score_batch_fused(dev: DeviceIndex,
     # per-query span fallbacks (wide windows / multiplicity > 2): the
     # pre-grouping slop execution model, packed to match the group wire
     # format
-    for qi, tids, idf in fb_rows:
+    for qi, tids, idf, sl in fb_rows:
         from searcharray_tpu.search import spans as spans_mod
 
         d = jnp.asarray(spans_mod.span_freqs_dense(
-            dev, tids, slop, kind=kind, k1=k1, b=b, idf=idf))[None]
+            dev, tids, sl, kind=kind, k1=k1, b=b, idf=idf))[None]
         if top_k is not None and rows is None:
             d = _pack1_fn(dev, top_k)(d)
         pending.append(([qi], d))

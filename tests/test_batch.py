@@ -241,3 +241,27 @@ def test_batch_slop_wide_window_fallback(docs, engine):
     for i, q in enumerate(queries):
         np.testing.assert_allclose(batched[i], docs.score(q, slop=25),
                                    rtol=1e-6, atol=1e-6, err_msg=str(q))
+
+
+def test_mixed_slop_batch(docs):
+    """Per-query slop: one batch mixes exact and slop queries and must
+    match per-query score() calls; identical tids with different slops
+    must NOT dedup onto each other."""
+    queries = ["foo", ["foo", "bar"], ["foo", "bar"], ["bar", "foo"],
+               ["foo", "bar"]]
+    slops = [0, 0, 2, 1, 2]
+    got = docs.score_batch(queries, slop=slops)
+    for i, (q, s) in enumerate(zip(queries, slops)):
+        np.testing.assert_allclose(
+            got[i], np.asarray(docs.score(q, slop=s)), rtol=1e-6,
+            atol=1e-6, err_msg=f"{q} slop={s}")
+    # same query+slop rows must be bit-identical (dedup fan-out)
+    np.testing.assert_array_equal(got[2], got[4])
+    scores, idx = docs.score_batch(queries, slop=slops, top_k=4)
+    np.testing.assert_allclose(
+        scores, np.sort(got, axis=1)[:, ::-1][:, :4], rtol=1e-6, atol=1e-6)
+    # wrong length must raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        docs.score_batch(queries, slop=[0, 2])

@@ -278,3 +278,16 @@ def test_shard_tf_pool_residency(corpus, single):
     for i, q in enumerate(queries):
         np.testing.assert_allclose(got[i], np.asarray(sarr.score(q)),
                                    rtol=1e-5, atol=1e-6, err_msg=str(q))
+
+
+def test_sharded_mixed_slop_batch(corpus, single):
+    arr = SearchArray.index(corpus, mesh=default_mesh())
+    sarr = SearchArray.index(corpus)
+    queries = ["alpha", ["alpha", "beta"], ["alpha", "beta"],
+               ["gamma", "delta"]]
+    slops = [0, 0, 2, 1]
+    got = arr.score_batch(queries, slop=slops)
+    for i, (q, s) in enumerate(zip(queries, slops)):
+        np.testing.assert_allclose(
+            got[i], np.asarray(sarr.score(q, slop=s)), rtol=1e-5,
+            atol=1e-6, err_msg=f"{q} slop={s}")
