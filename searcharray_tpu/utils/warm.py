@@ -93,6 +93,19 @@ def warm_serving(arr, phrase_lens: Sequence[int] = (2, 3, 4, 5),
                         continue
                 out = arr.score_batch(chunk, top_k=top_k, slop=slop)
                 n += len(chunk)
+    # mixed-slop batches fuse exact and slop specs into ONE super program
+    # (per-query slop, search/batch.py) — warm that composition too
+    pos_slops = [s for s in slops if s > 0]
+    if pos_slops:
+        phrases = [q for q in uniq if not isinstance(q, str)]
+        for bs in batch_sizes:
+            mixed = (uniq + phrases)[: max(bs, len(uniq) + len(phrases))]
+            mixed_slops = [0] * len(uniq) + [pos_slops[0]] * len(phrases)
+            for c0 in range(0, len(mixed), bs):
+                chunk = mixed[c0: c0 + bs]
+                chunk_slops = mixed_slops[c0: c0 + bs]
+                out = arr.score_batch(chunk, top_k=top_k, slop=chunk_slops)
+                n += len(chunk)
     # the packed result is tiny; force materialization so every compile
     # actually ran (tunnel defers until a host transfer)
     if isinstance(out, tuple):
