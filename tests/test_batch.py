@@ -265,3 +265,18 @@ def test_mixed_slop_batch(docs):
 
     with _pytest.raises(ValueError):
         docs.score_batch(queries, slop=[0, 2])
+
+
+def test_mixed_slop_batch_wide_window_fallback(docs):
+    """A wide-window slop query (per-query span fallback) rides the same
+    mixed batch as grouped exact/slop queries."""
+    queries = [["foo", "bar"], ["foo", "bar"], ["foo", "bar", "foo", "bar"]]
+    slops = [0, 25, 30]  # w > LSB_BITS forces the fallback kernel
+    got = docs.score_batch(queries, slop=slops)
+    for i, (q, s) in enumerate(zip(queries, slops)):
+        np.testing.assert_allclose(
+            got[i], np.asarray(docs.score(q, slop=s)), rtol=1e-6,
+            atol=1e-6, err_msg=f"{q} slop={s}")
+    scores, idx = docs.score_batch(queries, slop=slops, top_k=3)
+    np.testing.assert_allclose(
+        scores, np.sort(got, axis=1)[:, ::-1][:, :3], rtol=1e-6, atol=1e-6)
