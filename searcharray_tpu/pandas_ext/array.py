@@ -867,12 +867,13 @@ class SearchArray(ExtensionArray):
 
     def score_batch_device(self, queries: List[Union[str, List[str]]],
                            similarity: Similarity = default_bm25,
-                           slop: int = 0,
+                           slop=0,
                            rows: Optional[np.ndarray] = None):
         """Like :meth:`score_batch` but returns the f32[Q, len(self)]
         scores as a DEVICE array — no host transfer.  Callers composing
         further (edismax) pay one tunnel round trip for the whole query
         instead of one per phase.  Requires a fused builtin similarity.
+        ``slop`` may be an int or a per-query sequence (score_batch).
 
         With ``rows`` (a candidate doc-id subset; requires a full view,
         fused similarity, slop=0, single chip) scores come back as
@@ -881,11 +882,18 @@ class SearchArray(ExtensionArray):
         """
         import jax.numpy as jnp
 
+        if not np.isscalar(slop):
+            slop = [int(s) for s in slop]
+            if len(slop) != len(queries):
+                raise ValueError("per-query slop length must match queries")
+            if not any(slop):
+                slop = 0  # all-exact: take the scalar fast paths
         fused = getattr(similarity, "_fused", None)
         if rows is not None:
             full_view = (not self.subset
                          and len(self.rows) == self.corpus_size)
-            if (fused is None or slop != 0 or not full_view
+            if (fused is None or (np.isscalar(slop) and slop != 0)
+                    or not np.isscalar(slop) or not full_view
                     or self._state.sharded is not None):
                 raise ValueError(
                     "rows= requires a fused similarity, slop=0, a full "
@@ -902,13 +910,14 @@ class SearchArray(ExtensionArray):
         if fused is None:
             # custom similarity: honour the reference protocol per query,
             # then stage the stack on device for composition
+            slops = [slop] * len(queries) if np.isscalar(slop) else slop
             return jnp.asarray(np.stack(
-                [self.score(q, similarity=similarity, slop=slop)
-                 for q in queries]))
+                [self.score(q, similarity=similarity, slop=s)
+                 for q, s in zip(queries, slops)]))
         kind, k1, b = fused
         full_view = not self.subset and len(self.rows) == self.corpus_size
         sharded = self._state.sharded
-        if slop != 0:
+        if not np.isscalar(slop) or slop != 0:
             if sharded is not None and full_view:
                 qtids = []
                 for q in queries:
@@ -925,10 +934,11 @@ class SearchArray(ExtensionArray):
                         [q] if isinstance(q, str) else q))
                 return batch_mod.score_batch_fused(
                     self.dev, qtids, kind, k1, b, as_device=True, slop=slop)
+            slops = [slop] * len(queries) if np.isscalar(slop) else slop
             pending = [
-                self._score_fused(self._check_token_arg(q), fused, slop,
+                self._score_fused(self._check_token_arg(q), fused, s,
                                   None, None)
-                for q in queries
+                for q, s in zip(queries, slops)
             ]
             out = jnp.stack([jnp.asarray(p) for p in pending])
             if full_view:

@@ -188,56 +188,82 @@ def _phase_candidate_rows(qf_scores) -> Optional[np.ndarray]:
     return matched
 
 
-def _ngram_phase(frame, search_terms, fields, similarity, ngram: int,
-                 slop: int = 0, rows: Optional[np.ndarray] = None):
-    """pf (ngram=0 means whole phrase), pf2 (ngram=2), pf3 (ngram=3) scoring.
+def _ngram_phases(frame, search_terms, phases, similarity,
+                  rows: Optional[np.ndarray] = None):
+    """pf / pf2 / pf3 scoring — all phases batched per FIELD.
 
-    One batched device program per field scores all grams; the result stays
-    on device ([N] or None).  The caller masks to main-query matches, which
-    is numerically identical to the reference's row-subset scoring
-    (solr.py:328-338) — per-row phrase scores are independent and use
-    whole-index stats either way.
+    ``phases`` is a list of (fields, ngram, slop): ngram=0 means the
+    whole phrase, 2/3 the bigram/trigram phases; ``slop`` wires the Solr
+    ps/ps2/ps3 parameters (the reference accepts but never applies them,
+    solr.py:178-248).  A field appearing in several phases scores ALL
+    its grams in ONE device batch (per-query slop, search/batch.py) —
+    one pool-fill wave and program set per field instead of one per
+    (field, phase).  Results stay on device ([N] or rows-shaped).
 
-    With ``rows`` (the main query's matched docs) grams score only those
-    rows — compute proportional to matches, not corpus (the reference's
-    cost contract).  Returns (total, explain, rows_used): ``rows_used`` is
-    the row set actually applied (None when the phase ran full-corpus —
-    slop phases, non-fused similarities, and sharded fields keep the
-    mask-after path).
+    With ``rows`` (the main query's matched docs) a phase's grams score
+    only those rows — compute proportional to matches, not corpus (the
+    reference's cost contract, solr.py:328-338).  Slop phases, non-fused
+    similarities, and sharded fields keep the full-corpus mask-after
+    path, which is numerically identical (per-row phrase scores are
+    independent and use whole-index stats).
 
-    ``slop`` wires the Solr ps/ps2/ps3 parameters into the phrase phases
-    (the reference accepts but never applies them, solr.py:178-248)."""
-    if rows is not None and (slop != 0 or any(
-            getattr(similarity.get(f, default_bm25), "_fused", None) is None
-            or get_field(frame, f)._state.sharded is not None
-            for f in fields)):
-        rows = None
-    total = None
-    explain = ""
-    for field, boost in fields.items():
-        arr = get_field(frame, field)
-        terms = search_terms[field]
+    Returns a list of (total, explain, rows_used) per phase."""
+    n_ph = len(phases)
+    rows_p: List[Optional[np.ndarray]] = []
+    for fields, _ngram, slop in phases:
+        use = rows
+        if use is not None and (slop != 0 or any(
+                getattr(similarity.get(f, default_bm25), "_fused",
+                        None) is None
+                or get_field(frame, f)._state.sharded is not None
+                for f in fields)):
+            use = None
+        rows_p.append(use)
+
+    # per (field, rows-mode): concatenated grams + slops + segment map
+    calls: dict = {}
+    for pi, (fields, ngram, slop) in enumerate(phases):
         min_terms = ngram if ngram else 2
-        if len(terms) < min_terms:
-            continue
-        if ngram == 0:
-            grams = [terms]
-        else:
-            grams = [terms[i : i + ngram] for i in range(len(terms) - ngram + 1)]
+        for field, boost in fields.items():
+            terms = search_terms[field]
+            if len(terms) < min_terms:
+                continue
+            if ngram == 0:
+                grams = [terms]
+            else:
+                grams = [terms[i: i + ngram]
+                         for i in range(len(terms) - ngram + 1)]
+            mode = rows_p[pi] is not None
+            ent = calls.setdefault((field, mode),
+                                   {"grams": [], "slops": [], "segs": []})
+            ent["segs"].append((pi, field, boost, ngram, slop,
+                                len(ent["grams"]), len(grams)))
+            ent["grams"] += grams
+            ent["slops"] += [slop] * len(grams)
+
+    totals: List[Optional[object]] = [None] * n_ph
+    explains: List[str] = [""] * n_ph
+    for (field, mode), ent in calls.items():
+        arr = get_field(frame, field)
         gram_scores = arr.score_batch_device(
-            grams, similarity=similarity[field], slop=slop, rows=rows)
-        contrib = gram_scores.sum(axis=0)
-        if ngram == 2 and grams:
-            # parity quirk: the reference double-appends the final bigram
-            # (solr.py:221)
-            contrib = contrib + gram_scores[-1]
-        total = (contrib * np.float32(_boost_val(boost))
-                 if total is None
-                 else total + contrib * np.float32(_boost_val(boost)))
-        for gram in grams:
-            slop_exp = f"~{slop}" if slop else ""
-            explain += f" ({field}:\"{' '.join(gram)}\"{slop_exp})^{_boost_exp(boost)}"
-    return total, explain, (rows if total is not None else None)
+            ent["grams"], similarity=similarity[field], slop=ent["slops"],
+            rows=rows if mode else None)
+        for pi, _f, boost, ngram, slop, g0, gn in ent["segs"]:
+            seg = gram_scores[g0: g0 + gn]
+            contrib = seg.sum(axis=0)
+            if ngram == 2 and gn:
+                # parity quirk: the reference double-appends the final
+                # bigram (solr.py:221)
+                contrib = contrib + seg[-1]
+            contrib = contrib * np.float32(_boost_val(boost))
+            totals[pi] = contrib if totals[pi] is None else totals[pi] + contrib
+            for gram in ent["grams"][g0: g0 + gn]:
+                slop_exp = f"~{slop}" if slop else ""
+                explains[pi] += (f" ({field}:\"{' '.join(gram)}\""
+                                 f"{slop_exp})^{_boost_exp(boost)}")
+    return [(totals[pi], explains[pi],
+             rows_p[pi] if totals[pi] is not None else None)
+            for pi in range(n_ph)]
 
 
 def edismax(frame: pd.DataFrame, q: str, qf: List[str],
@@ -300,18 +326,16 @@ def edismax(frame: pd.DataFrame, q: str, qf: List[str],
     if phrase_fields or bigram_fields or trigram_fields:
         rows = _phase_candidate_rows(qf_scores)
 
-    phrase_scores, pf_explain, pf_rows = _ngram_phase(
-        frame, search_terms, phrase_fields, similarity, 0, ps, rows
+    phase_results = _ngram_phases(
+        frame, search_terms,
+        [(phrase_fields, 0, ps), (bigram_fields, 2, ps2),
+         (trigram_fields, 3, ps3)],
+        similarity, rows,
     )
-    explain += pf_explain
-    bigram_scores, pf2_explain, pf2_rows = _ngram_phase(
-        frame, search_terms, bigram_fields, similarity, 2, ps2, rows
-    )
-    explain += pf2_explain
-    trigram_scores, pf3_explain, pf3_rows = _ngram_phase(
-        frame, search_terms, trigram_fields, similarity, 3, ps3, rows
-    )
-    explain += pf3_explain
+    (phrase_scores, pf_explain, pf_rows) = phase_results[0]
+    (bigram_scores, pf2_explain, pf2_rows) = phase_results[1]
+    (trigram_scores, pf3_explain, pf3_rows) = phase_results[2]
+    explain += pf_explain + pf2_explain + pf3_explain
 
     rows_dev = None
     for extra, extra_rows in ((phrase_scores, pf_rows),
