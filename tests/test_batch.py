@@ -280,3 +280,14 @@ def test_mixed_slop_batch_wide_window_fallback(docs):
     scores, idx = docs.score_batch(queries, slop=slops, top_k=3)
     np.testing.assert_allclose(
         scores, np.sort(got, axis=1)[:, ::-1][:, :3], rtol=1e-6, atol=1e-6)
+
+
+def test_mixed_slop_batch_on_sliced_view(docs):
+    sl = docs[::2]
+    queries = [["foo", "bar"], ["foo", "bar"], "foo"]
+    slops = [0, 2, 0]
+    got = sl.score_batch(queries, slop=slops)
+    for i, (q, s) in enumerate(zip(queries, slops)):
+        np.testing.assert_allclose(
+            got[i], np.asarray(sl.score(q, slop=s)), rtol=1e-6, atol=1e-6,
+            err_msg=f"{q} slop={s}")
