@@ -20,6 +20,7 @@ import pandas as pd
 from pandas.api.extensions import (
     ExtensionArray,
     ExtensionDtype,
+    no_default,
     register_extension_dtype,
     take as pd_take,
 )
@@ -122,6 +123,10 @@ class Terms:
             return True
 
     def __lt__(self, other):
+        if not isinstance(other, Terms):
+            # pandas rank/sort compares against Infinity/NegInfinity
+            # sentinels; defer to their reflected comparison.
+            return NotImplemented
         keys_both = sorted(set(self.postings.keys()) | set(other.postings.keys()))
         for key in keys_both:
             lhs_val = self.postings.get(key, 0)
@@ -406,32 +411,56 @@ class SearchArray(ExtensionArray):
         if isinstance(key, numbers.Integral) and isinstance(value, np.ndarray):
             raise ValueError("Cannot set a single value to an array")
 
-        # Rebuild-on-write: materialise the backing corpus as Terms rows,
-        # apply the assignment, rebuild the index (the reference warns this
-        # path is slow too, postings.py:409-414).
-        all_rows = np.array(
-            [self._row_to_terms(i) for i in range(self._built.corpus_size)],
-            dtype=object,
-        )
-        targets = self.rows[key]
-        if isinstance(targets, numbers.Integral) or np.isscalar(targets):
-            targets = np.asarray([targets])
-            if not isinstance(value, np.ndarray):
-                value = np.asarray([value], dtype=object)
-        elif not isinstance(value, np.ndarray):
-            value = np.asarray([value] * len(targets), dtype=object)
-        if pd.isna(value).any() if isinstance(value, np.ndarray) else False:
+        # Logical positions being assigned (key may be int/slice/mask/fancy).
+        logical = np.arange(len(self))[key]
+        if isinstance(logical, numbers.Integral) or np.isscalar(logical):
+            logical = np.asarray([int(logical)])
+        if not isinstance(value, np.ndarray):
+            value = np.asarray([value] * len(logical), dtype=object)
+        elif len(value) == 1 and len(logical) != 1:
+            value = np.asarray([value[0]] * len(logical), dtype=object)
+        elif len(value) != len(logical):
+            raise ValueError(
+                f"cannot set {len(logical)} positions from "
+                f"{len(value)} values"
+            )
+        if pd.isna(value).any():
             value = np.asarray(
                 [Terms({}) if pd.isna(v) else v for v in value], dtype=object
             )
-        for t, v in zip(targets, value):
+
+        # Rebuild-on-write: materialise the backing corpus as Terms rows,
+        # apply the assignment, rebuild the index (the reference warns this
+        # path is slow too, postings.py:409-414).
+        all_rows = [
+            self._row_to_terms(i) for i in range(self._built.corpus_size)
+        ]
+        # De-alias: a logical position whose backing row is shared with
+        # another logical position of this view (take/fancy-index results
+        # repeat backing rows) gets its own fresh backing row, so assigning
+        # one position never changes its aliases.
+        counts = np.bincount(self.rows, minlength=self._built.corpus_size)
+        new_rows = self.rows.copy()
+        appended = False
+        for pos, v in zip(logical, value):
             if isinstance(v, dict):
                 v = Terms(v, doc_len=len(v))
-            all_rows[int(t)] = v
+            backing = int(self.rows[int(pos)])
+            if counts[backing] > 1:
+                new_rows[int(pos)] = len(all_rows)
+                all_rows.append(v)
+                appended = True
+            else:
+                all_rows[backing] = v
         # Swap the shared holder in place: all pandas views of this array
         # observe the mutation; copies (separate holders) do not.
-        self._state.built = build_index_from_terms(all_rows, Terms)
+        self._state.built = build_index_from_terms(
+            np.asarray(all_rows, dtype=object), Terms
+        )
         self._state.dev = None
+        if appended:
+            self.rows = new_rows
+            self.subset = True
 
     def value_counts(self, dropna: bool = True):
         counts = Counter(self[:])
@@ -558,6 +587,15 @@ class SearchArray(ExtensionArray):
             )
         return np.asarray([self._row_to_terms(int(r)) for r in self.rows],
                           dtype=object)
+
+    def to_numpy(self, dtype=None, copy=False, na_value=no_default):
+        # Conversion materialises fresh Terms rows (never zero-copy), so the
+        # result is always writeable — the base class would wrongly mark it
+        # readonly when self._readonly is set.
+        result = np.asarray(self, dtype=dtype)
+        if na_value is not no_default:
+            result[self.isna()] = na_value
+        return result
 
     def __getstate__(self):
         return {
