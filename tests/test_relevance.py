@@ -1,26 +1,46 @@
-"""Graded-relevance harness: MRR@10 against an independent oracle.
+"""Discriminative graded-relevance harness: MRR@10 against an oracle.
 
 BASELINE.json's north star is MRR@10 parity on MSMARCO; real MSMARCO is
 egress-blocked in this environment (BASELINE.md), so this harness checks
-ranking *correctness* on a synthetic corpus with checked-in construction:
+ranking *correctness* on a 50k-doc synthetic corpus with checked-in
+construction.  Design goals (VERDICT round-3 item 5):
 
-* qrels are derived by brute force (tokenize-and-membership, the
-  reference's ``naive_find_term`` idea, `/root/reference/test/
-  test_utils.py:54-57`): a doc is relevant to a query iff it literally
-  contains the term / consecutive phrase;
-* an independent pure-numpy Lucene-BM25 oracle (written against the
-  formula, sharing no code with the engine) produces the reference
-  ranking;
-* the engine's MRR@10 must match the oracle's exactly and clear an
-  absolute floor — "the ranking didn't change" becomes "the ranking is
-  right".
+* **graded qrels** independent of BM25: a doc is relevant to a term query
+  only with tf >= 2, to a phrase/slop query only with match count >= 2,
+  and to an edismax query only when it contains ALL query terms — while
+  the engine ranks by (OR-composed) BM25.  The oracle's own MRR@10 is
+  therefore strictly < 1: the harness distinguishes "right ranking" from
+  "any ranking that puts a planted doc first".
+* **engine MRR must equal oracle MRR** (identical rankings => identical
+  MRR; compared to 1e-12) and per-query scores must agree with a fully
+  independent float64 numpy implementation of Lucene-9 BM25
+  (`/root/reference/searcharray/similarity.py:19-37` semantics), the
+  windowed slop semantics pinned by tests/test_slop.py, and the edismax
+  term-centric composition (`searcharray_tpu/solr.py` semantics, which
+  mirror `/root/reference/searcharray/solr.py:111-143`).
+* **mutation check**: an injected scoring bug (idf computed with df+1)
+  must fail the harness — both the score-agreement gate and MRR@10 at
+  the 4th decimal (a planted near-tie pair flips rank under df+1: the
+  rarer term's idf shrinks ~3% vs ~0.1% for the commoner term).
 """
 import math
+from collections import Counter
 
 import numpy as np
 import pytest
 
 from searcharray_tpu import SearchArray
+from searcharray_tpu.solr import edismax
+
+N_DOCS = 50_000
+K1, B = 1.2, 0.75
+
+
+# ---------------------------------------------------------------------------
+# independent oracle (pure numpy/python, no engine code)
+# ---------------------------------------------------------------------------
+def _idf(n_docs, df):
+    return math.log1p((n_docs - df + 0.5) / (df + 0.5))
 
 
 def _naive_phrase_count(tokens, phrase):
@@ -29,119 +49,387 @@ def _naive_phrase_count(tokens, phrase):
                if tokens[i: i + n] == phrase)
 
 
-class NumpyBM25Oracle:
+def _naive_slop_count(tokens, terms, slop):
+    """The windowed semantics pinned by tests/test_slop.py: an anchor
+    position p (of the min-df term) is covered if some window [s, s+w],
+    w = n + slop - 1, holds >= m_t occurrences of every query term t."""
+    n = len(terms)
+    w = n + slop - 1
+    mult = Counter(terms)
+    anchor = terms[0]  # caller passes terms with the rarest FIRST
+    count = 0
+    for p, tok in enumerate(tokens):
+        if tok != anchor:
+            continue
+        for s in range(max(0, p - w), p + 1):
+            win = tokens[s: s + w + 1]
+            if all(win.count(t) >= m for t, m in mult.items()):
+                count += 1
+                break
+    return count
+
+
+class Oracle:
     """Independent Lucene-9 BM25 (k1=1.2, b=0.75) over tokenized docs."""
 
     def __init__(self, corpus):
         self.docs = [d.split() for d in corpus]
         self.N = len(corpus)
-        self.doc_lens = np.array([len(d) for d in self.docs], dtype=np.float64)
+        self.doc_lens = np.array([len(d) for d in self.docs], np.float64)
         self.avg_dl = self.doc_lens.mean() if self.N else 0.0
+        self.sets = [set(d) for d in self.docs]
+        self.df = Counter(t for s in self.sets for t in s)
 
-    def score(self, query):
-        terms = [query] if isinstance(query, str) else query
-        if isinstance(query, str):
-            tfs = np.array([d.count(query) for d in self.docs], np.float64)
-            df = int((tfs > 0).sum())
-            idf = math.log(1 + (self.N - df + 0.5) / (df + 0.5))
-        else:
-            tfs = np.array(
-                [_naive_phrase_count(d, terms) for d in self.docs],
-                np.float64)
-            idf = 0.0
-            for t in terms:
-                df = sum(1 for d in self.docs if t in d)
-                idf += math.log(1 + (self.N - df + 0.5) / (df + 0.5))
-        denom = tfs + 1.2 * (1 - 0.75 + 0.75 * self.doc_lens / self.avg_dl)
+    def _bm25(self, tfs, idf):
+        denom = tfs + K1 * (1 - B + B * self.doc_lens / self.avg_dl)
         with np.errstate(invalid="ignore"):
             part = np.where(tfs > 0, tfs / denom, 0.0)
         return part * idf
 
-    def relevant(self, query):
-        if isinstance(query, str):
-            return {i for i, d in enumerate(self.docs) if query in d}
-        return {i for i, d in enumerate(self.docs)
-                if _naive_phrase_count(d, list(query)) > 0}
+    def score_term(self, term):
+        tfs = np.array([d.count(term) for d in self.docs], np.float64)
+        return self._bm25(tfs, _idf(self.N, self.df[term]))
+
+    def score_phrase(self, terms):
+        tfs = np.zeros(self.N, np.float64)
+        need = set(terms)
+        for i, s in enumerate(self.sets):
+            if need <= s:
+                tfs[i] = _naive_phrase_count(self.docs[i], list(terms))
+        idf = sum(_idf(self.N, self.df[t]) for t in terms)
+        return self._bm25(tfs, idf)
+
+    def score_slop(self, terms, slop):
+        tfs = np.zeros(self.N, np.float64)
+        need = set(terms)
+        # rarest term first = the engine's anchor (min posting length;
+        # queries here use distinct-df terms so df order == length order)
+        by_rarity = sorted(set(terms), key=lambda t: self.df[t])
+        # anchor first, keeping every term's multiplicity
+        ordered = ([by_rarity[0]]
+                   + [t for t in terms if t != by_rarity[0]]
+                   + [by_rarity[0]] * (terms.count(by_rarity[0]) - 1))
+        for i, s in enumerate(self.sets):
+            if need <= s:
+                tfs[i] = _naive_slop_count(self.docs[i], ordered, slop)
+        idf = sum(_idf(self.N, self.df[t]) for t in terms)
+        return self._bm25(tfs, idf)
+
+    def edismax(self, q, fields, boosts=None, mm=1, tie=0.0,
+                pf=(), pf2=()):
+        """Term-centric edismax over per-field oracles (`fields` maps
+        name -> Oracle); mirrors solr semantics: per-term dismax with
+        tie, integer mm gate, pf/pf2 added at matched rows (pf2 with the
+        reference's double-append-last-bigram quirk, solr.py:221)."""
+        boosts = boosts or {f: 1.0 for f in fields}
+        terms = q.split()
+        per_term = []
+        for t in terms:
+            fs = np.stack([boosts[f] * o.score_term(t)
+                           for f, o in fields.items()])
+            mx = fs.max(axis=0)
+            per_term.append(mx + (fs.sum(axis=0) - mx) * tie)
+        stack = np.stack(per_term)
+        gate = (stack > 0).sum(axis=0) >= mm
+        qf_scores = np.where(gate, stack.sum(axis=0), 0.0)
+        extra = np.zeros_like(qf_scores)
+        for f in pf:
+            if len(terms) >= 2:
+                extra += boosts[f] * fields[f].score_phrase(terms)
+        for f in pf2:
+            grams = [terms[i: i + 2] for i in range(len(terms) - 1)]
+            if grams:
+                contrib = sum(fields[f].score_phrase(g) for g in grams)
+                contrib = contrib + fields[f].score_phrase(grams[-1])
+                extra += boosts[f] * contrib
+        return qf_scores + np.where(qf_scores > 0, extra, 0.0)
 
 
 def mrr_at_k(rankings, qrels, k=10):
-    total = 0.0
+    per_q = []
     for ranked, rel in zip(rankings, qrels):
         rr = 0.0
         for pos, doc in enumerate(ranked[:k]):
             if doc in rel:
                 rr = 1.0 / (pos + 1)
                 break
-        total += rr
-    return total / len(rankings)
+        per_q.append(rr)
+    return sum(per_q) / len(per_q), per_q
+
+
+# ---------------------------------------------------------------------------
+# corpus: 50k zipf docs + planted graded structures + the df+1 flip pair
+# ---------------------------------------------------------------------------
+def _flip_lengths(n, avg_dl, df_rare=3, df_common=120, b_len=12):
+    """Solve for the flip-pair doc lengths: docA (rare term, len a) must
+    outscore docB (common term, len b) by ~1.2% with true idf, and lose
+    under idf(df+1) (rare idf shrinks ~2.6%, common ~0.1%)."""
+    idf_a, idf_b = _idf(n, df_rare), _idf(n, df_common)
+    part_b = 1.0 / (1 + K1 * (1 - B + B * b_len / avg_dl))
+    target_part_a = 1.012 * part_b * idf_b / idf_a
+    a_len = ((1.0 / target_part_a - 1) / K1 - (1 - B)) * avg_dl / B
+    return int(round(a_len)), b_len
 
 
 @pytest.fixture(scope="module")
 def corpus():
-    rng = np.random.default_rng(99)
-    vocab = ["apollo", "luna", "mars", "rover", "gale", "crater",
-             "mission", "launch", "orbit", "sample"] + [
-        f"v{i}" for i in range(200)]
-    probs = 1.0 / np.arange(1, len(vocab) + 1)
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i}" for i in range(6000)])
+    probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.07
     probs /= probs.sum()
-    docs = [
-        " ".join(rng.choice(vocab, size=rng.integers(8, 60), p=probs))
-        for _ in range(1500)
-    ]
-    # planted high-relevance docs for the query set
-    docs[100] = "the apollo mission launch apollo mission " + docs[100]
-    docs[200] = "mars rover gale crater sample " + docs[200]
-    docs[300] = "luna orbit luna orbit luna orbit"
-    return docs
+    sizes = rng.integers(8, 72, size=N_DOCS)
+    docs = [" ".join(rng.choice(vocab, size=s, p=probs)) for s in sizes]
+
+    # --- graded term structure: "saturn" docs with tf 1..3, varied len.
+    # The length-1 tf=1 doc legitimately outranks every tf>=2 doc under
+    # BM25 (tf saturates, length norm dominates) but is NOT relevant
+    # under the tf>=2 qrels — oracle MRR < 1 by construction.
+    slots = iter(range(100, 40_000, 100))
+    docs[next(slots)] = "saturn saturn"  # tf=2, len-2: tops the ranking
+    for tf in (1, 1, 1, 2, 2, 3, 3):
+        for pad in (0, 30, 120):
+            i = next(slots)
+            docs[i] = " ".join(["saturn"] * tf + ["pad"] * pad
+                               + docs[i].split()[:10])
+
+    # --- graded phrase structure: "nova pulsar" count 1..3, varied len
+    docs[next(slots)] = "nova pulsar nova pulsar"  # count-2: tops ranking
+    for cnt in (1, 1, 2, 2, 3, 3):
+        for pad in (0, 40, 160):
+            i = next(slots)
+            body = ("nova pulsar " + "gap " * 3) * cnt
+            docs[i] = body + " ".join(["pad"] * pad)
+
+    # --- graded slop structure: "quasar ... nebula" at gaps 0..7
+    docs[next(slots)] = "quasar nebula quasar nebula"  # count-2: tops
+    for gap in range(8):
+        for cnt in (1, 2):
+            i = next(slots)
+            unit = "quasar " + "mid " * gap + "nebula end "
+            docs[i] = unit * cnt + "tail tail"
+    for gap in (0, 1, 3):  # count-3 but padded long: relevant, ranks below
+        i = next(slots)
+        unit = "quasar " + "mid " * gap + "nebula end "
+        docs[i] = unit * 3 + " ".join(["pad"] * 60)
+
+    # --- edismax AND/OR structure: docs with one or both of comet/meteor
+    # short single-term docs top OR-composed rankings but miss AND qrels
+    for combo in ("comet", "meteor", "comet meteor", "meteor comet comet",
+                  "comet meteor nova", "nova comet meteor comet",
+                  "saturn comet", "comet saturn saturn"):
+        for pad in (0, 25, 90):
+            i = next(slots)
+            docs[i] = combo + " " + " ".join(["pad"] * pad)
+
+    # --- the df+1 flip pair (see _flip_lengths)
+    avg0 = float(np.mean([len(d.split()) for d in docs]))
+    a_len, b_len = _flip_lengths(N_DOCS, avg0)
+    i_a, i_b = next(slots), next(slots)
+    docs[i_a] = "flipa " + " ".join(["fpad"] * (a_len - 1))
+    docs[i_b] = "flipb " + " ".join(["fpad"] * (b_len - 1))
+    for k in range(2):      # flipa df = 3
+        docs[next(slots)] = "flipa " + " ".join(["fpad"] * 220)
+    for k in range(119):    # flipb df = 120
+        docs[next(slots)] = "flipb " + " ".join(["fpad"] * 220)
+    return docs, i_a, i_b
 
 
-QUERY_SET = [
-    "apollo", "rover", "crater", "v17",
-    ["apollo", "mission"], ["mars", "rover"], ["gale", "crater"],
-    ["luna", "orbit"], ["apollo", "mission", "launch"],
-]
+@pytest.fixture(scope="module")
+def titles(corpus):
+    docs, _, _ = corpus
+    return [" ".join(d.split()[:5]) for d in docs]
 
 
-def test_mrr_at_10_matches_oracle(corpus):
-    arr = SearchArray.index(corpus)
-    oracle = NumpyBM25Oracle(corpus)
+@pytest.fixture(scope="module")
+def engine(corpus, titles):
+    docs, _, _ = corpus
+    import pandas as pd
 
-    qrels = [oracle.relevant(q) for q in QUERY_SET]
-    assert all(len(r) > 0 for r in qrels), "every query must have qrels"
-
-    scores, idx = arr.score_batch(QUERY_SET, top_k=10)
-    engine_rank = [list(idx[i]) for i in range(len(QUERY_SET))]
-
-    oracle_rank = []
-    for q in QUERY_SET:
-        s = oracle.score(q)
-        oracle_rank.append(list(np.argsort(-s, kind="stable")[:10]))
-
-    m_engine = mrr_at_k(engine_rank, qrels)
-    m_oracle = mrr_at_k(oracle_rank, qrels)
-    # BM25 puts a relevant doc at rank 1 for every query by construction
-    assert m_oracle == pytest.approx(1.0)
-    assert m_engine == pytest.approx(m_oracle)
-
-    # score-level agreement with the independent oracle (float32 vs
-    # float64 drift only)
-    for i, q in enumerate(QUERY_SET):
-        s = oracle.score(q)
-        np.testing.assert_allclose(scores[i],
-                                   np.sort(s)[::-1][:10].astype(np.float32),
-                                   rtol=2e-4, atol=1e-5, err_msg=str(q))
+    body = SearchArray.index(docs)
+    title = SearchArray.index(titles)
+    frame = pd.DataFrame({"body": body, "title": title})
+    return body, frame
 
 
-def test_mrr_with_candidate_engine(corpus, monkeypatch):
+@pytest.fixture(scope="module")
+def oracles(corpus, titles):
+    docs, _, _ = corpus
+    return Oracle(docs), Oracle(titles)
+
+
+# (kind, payload, qrels-fn) — qrels graded strictly (see module docstring)
+def _query_set(o: Oracle, i_a):
+    def tf_ge(term, k):
+        return {i for i, d in enumerate(o.docs) if d.count(term) >= k}
+
+    def phrase_ge(terms, k):
+        return {i for i, d in enumerate(o.docs)
+                if _naive_phrase_count(d, terms) >= k}
+
+    def slop_ge(terms, slop, k):
+        return {i for i, s in enumerate(o.sets) if set(terms) <= s
+                and _naive_slop_count(o.docs[i], terms, slop) >= k}
+
+    def and_docs(terms):
+        return {i for i, s in enumerate(o.sets) if set(terms) <= s}
+
+    qs = []
+    for t, k in (("saturn", 3), ("w0", 2), ("w3", 2), ("w25", 2),
+                 ("w180", 2), ("w45", 2)):
+        qs.append(("term", t, tf_ge(t, k)))
+    for ph, k in ((["nova", "pulsar"], 3), (["w0", "w1"], 2),
+                  (["w1", "w0"], 2), (["w2", "w5"], 2),
+                  (["quasar", "nebula"], 2)):
+        qs.append(("phrase", ph, phrase_ge(ph, k)))
+    for terms, slop, k in ((["quasar", "nebula"], 2, 3),
+                           (["quasar", "nebula"], 5, 3),
+                           (["nova", "pulsar"], 1, 2),
+                           (["w0", "w4"], 3, 2)):
+        qs.append(("slop", (terms, slop), slop_ge(terms, slop, k)))
+    for q, kw in (("comet meteor", {}),
+                  ("comet meteor", {"mm": 2}),
+                  ("comet meteor", {"tie": 0.3}),
+                  ("nova pulsar", {"pf": True}),
+                  ("comet meteor nova", {"pf2": True}),
+                  ("saturn comet", {"two_fields": True}),
+                  ("flipa flipb", {"qrels": {i_a}})):
+        qs.append(("edismax", (q, kw),
+                   kw.get("qrels", and_docs(q.split()))))
+    return qs
+
+
+def _run_harness(body, frame, o_body, o_title, queries):
+    """Score every query in both systems; assert score agreement; return
+    both MRR@10 values and the per-query reciprocal ranks."""
+    eng_rank, ora_rank, qrels = [], [], []
+    for kind, payload, rel in queries:
+        assert len(rel) > 0, f"empty qrels for {kind} {payload}"
+        if kind == "term":
+            e = body.score(payload)
+            s = o_body.score_term(payload)
+        elif kind == "phrase":
+            e = body.score(payload)
+            s = o_body.score_phrase(payload)
+        elif kind == "slop":
+            terms, slop = payload
+            e = body.score(terms, slop=slop)
+            s = o_body.score_slop(terms, slop)
+        else:
+            q, kw = payload
+            fields = {"body": o_body}
+            qf = ["body"]
+            if kw.get("two_fields"):
+                fields["title"] = o_title
+                qf = ["body", "title^2.0"]
+            e, _ = edismax(frame, q=q, qf=qf,
+                           mm=str(kw.get("mm", 1)),
+                           tie=kw.get("tie", 0.0),
+                           pf=["body"] if kw.get("pf") else None,
+                           pf2=["body"] if kw.get("pf2") else None)
+            s = fields["body"].edismax(
+                q, fields, boosts={"body": 1.0, "title": 2.0},
+                mm=kw.get("mm", 1), tie=kw.get("tie", 0.0),
+                pf=["body"] if kw.get("pf") else (),
+                pf2=["body"] if kw.get("pf2") else ())
+        e = np.asarray(e, np.float64)
+        np.testing.assert_allclose(
+            e, s, rtol=3e-4, atol=2e-5,
+            err_msg=f"score mismatch: {kind} {payload}")
+        eng_rank.append(list(np.argsort(-e.astype(np.float32),
+                                        kind="stable")[:10]))
+        ora_rank.append(list(np.argsort(-s, kind="stable")[:10]))
+        qrels.append(rel)
+    m_e, rr_e = mrr_at_k(eng_rank, qrels)
+    m_o, rr_o = mrr_at_k(ora_rank, qrels)
+    return m_e, m_o, rr_e, rr_o
+
+
+def test_mrr_harness_discriminative(corpus, engine, oracles):
+    docs, i_a, _ = corpus
+    body, frame = engine
+    o_body, o_title = oracles
+    queries = _query_set(o_body, i_a)
+
+    m_e, m_o, rr_e, rr_o = _run_harness(body, frame, o_body, o_title,
+                                        queries)
+    # identical rankings => identical MRR, compared beyond 4 decimals
+    assert m_e == pytest.approx(m_o, abs=1e-12)
+    # the qrels are graded: the oracle itself does NOT achieve MRR 1.0,
+    # so the harness can tell a right ranking from a lucky one
+    assert 0.2 < m_o < 0.9999, f"oracle MRR@10 = {m_o}"
+    assert sum(1 for r in rr_o if r < 1.0) >= 4, rr_o
+
+
+def test_mutation_idf_off_by_one_fails_harness(corpus, engine, oracles):
+    """Injected bug: idf computed with df+1.  The harness must fail —
+    score agreement breaks AND MRR@10 changes at the 4th decimal (the
+    planted flip pair swaps ranks)."""
+    import dataclasses
+
+    docs, i_a, i_b = corpus
+    body, frame = engine
+    o_body, o_title = oracles
+    queries = _query_set(o_body, i_a)
+
+    m_clean, _, rr_clean, _ = _run_harness(body, frame, o_body, o_title,
+                                           queries)
+
+    mutated = SearchArray([], tokenizer=body.tokenizer)
+    mutated._attach(dataclasses.replace(
+        body._built, doc_freqs=body._built.doc_freqs + 1, derived=None))
+    import pandas as pd
+
+    mut_frame = pd.DataFrame({"body": mutated, "title": frame["title"]})
+
+    with pytest.raises(AssertionError):
+        _run_harness(mutated, mut_frame, o_body, o_title, queries)
+
+    # MRR under the mutation (ranked by the buggy engine, same qrels)
+    flip_q = [q for q in queries if q[1] == ("flipa flipb", {"qrels": {i_a}})]
+    e, _ = edismax(mut_frame, q="flipa flipb", qf=["body"])
+    mut_rank = list(np.argsort(-np.asarray(e), kind="stable")[:10])
+    clean_e, _ = edismax(frame, q="flipa flipb", qf=["body"])
+    clean_rank = list(np.argsort(-np.asarray(clean_e), kind="stable")[:10])
+    assert clean_rank[0] == i_a and mut_rank[0] == i_b, (
+        "flip pair did not flip", clean_rank[:3], mut_rank[:3])
+    m_mut, _ = mrr_at_k([mut_rank], [flip_q[0][2]])
+    m_flip_clean, _ = mrr_at_k([clean_rank], [flip_q[0][2]])
+    delta = abs(m_flip_clean - m_mut) / len(queries)
+    assert round(m_clean, 4) != round(m_clean - delta, 4), delta
+
+
+def test_mrr_with_candidate_engine(corpus, engine, oracles):
     """The candidate-subset engine must not change retrieval quality."""
     from searcharray_tpu.search import candidates as cand_mod
 
-    monkeypatch.setattr(cand_mod, "CAND_MIN_DOCS", 0)
-    monkeypatch.setattr(cand_mod, "CAND_TERM_MIN_DOCS", 0)
-    monkeypatch.setattr(cand_mod, "CAND_MAX_FRAC", 0)
-    arr = SearchArray.index(corpus)
-    oracle = NumpyBM25Oracle(corpus)
-    qrels = [oracle.relevant(q) for q in QUERY_SET]
-    _scores, idx = arr.score_batch(QUERY_SET, top_k=10)
-    m = mrr_at_k([list(r) for r in idx], qrels)
-    assert m == pytest.approx(1.0)
+    docs, i_a, _ = corpus
+    body, frame = engine
+    o_body, o_title = oracles
+    queries = [q for q in _query_set(o_body, i_a) if q[0] != "edismax"]
+
+    saved = (cand_mod.CAND_MIN_DOCS, cand_mod.CAND_TERM_MIN_DOCS,
+             cand_mod.CAND_MAX_FRAC)
+    try:
+        cand_mod.CAND_MIN_DOCS = 0
+        cand_mod.CAND_TERM_MIN_DOCS = 0
+        cand_mod.CAND_MAX_FRAC = 0
+        qrels = [rel for _, _, rel in queries]
+        specs = [p if kind != "slop" else p[0]
+                 for kind, p, _ in queries]
+        slops = [0 if kind != "slop" else p[1] for kind, p, _ in queries]
+        _scores, idx = body.score_batch(specs, top_k=10, slop=slops)
+        m, _ = mrr_at_k([list(r) for r in idx], qrels)
+        o_rank = []
+        for kind, payload, _ in queries:
+            if kind == "term":
+                s = o_body.score_term(payload)
+            elif kind == "phrase":
+                s = o_body.score_phrase(payload)
+            else:
+                s = o_body.score_slop(*payload)
+            o_rank.append(list(np.argsort(-s, kind="stable")[:10]))
+        m_o, _ = mrr_at_k(o_rank, qrels)
+        assert m == pytest.approx(m_o, abs=1e-12)
+    finally:
+        (cand_mod.CAND_MIN_DOCS, cand_mod.CAND_TERM_MIN_DOCS,
+         cand_mod.CAND_MAX_FRAC) = saved
