@@ -259,4 +259,88 @@ void sa_invert_encode(const int32_t* term_ids, int64_t n,
   sizes_out[1] = n_present;
 }
 
+// Gather posting segments from per-batch buffers into one contiguous
+// term-major buffer (the _repack hot loop).  Replaces numpy's
+// arange+repeat+fancy-gather pipeline, which builds THREE word-sized
+// int64 index arrays before copying a single byte (measured 45 s of a
+// 68 s 1M-doc build; this is a plain memcpy per segment).
+//   bufs     : per-batch base pointers (as int64 addresses)
+//   seg_buf  : which batch each segment reads from
+//   starts   : word offset of each segment within its batch buffer
+//   lens     : words per segment
+// Output segments are written consecutively in call order.
+void sa_copy_segments(const int64_t* bufs, const int32_t* seg_buf,
+                      const int64_t* starts, const int64_t* lens,
+                      int64_t n_segs, uint64_t* out) {
+  int64_t w = 0;
+  for (int64_t s = 0; s < n_segs; ++s) {
+    const uint64_t* src =
+        reinterpret_cast<const uint64_t*>(bufs[seg_buf[s]]) + starts[s];
+    std::memcpy(out + w, src, static_cast<size_t>(lens[s]) * sizeof(uint64_t));
+    w += lens[s];
+  }
+}
+
+// u64 posting words -> 32-bit device planes (hdr32 = key << blk_bits |
+// block, pay32 = 18-bit posn bitmap), one pass.  Replaces ~10 numpy
+// word-sized passes with temporaries (kernels.compress_planes).
+// Returns the max header so the caller can run its 31-bit range check.
+int64_t sa_compress_planes(const uint64_t* words, int64_t n,
+                           int32_t blk_bits, int32_t* hdr_out,
+                           uint32_t* pay_out) {
+  int64_t max_hdr = -1;
+  const uint64_t blk_mask = (1ull << 18) - 1;
+  const uint64_t pay_mask = (1ull << 18) - 1;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t w = words[i];
+    const int64_t hdr = static_cast<int64_t>(
+        ((w >> 36) << blk_bits) | ((w >> 18) & blk_mask));
+    hdr_out[i] = static_cast<int32_t>(hdr);
+    pay_out[i] = static_cast<uint32_t>(w & pay_mask);
+    if (hdr > max_hdr) max_hdr = hdr;
+  }
+  return max_hdr;
+}
+
+// Per term: max posting words falling in any doc_block-sized doc range
+// (the tile bound for the Pallas block-reduce scorer).  Words in a slice
+// are doc-sorted, so equal (doc / doc_block) words form contiguous runs.
+// Replaces a numpy pipeline whose np.maximum.at scatter ran ~100 ns/word.
+void sa_block_max(const uint64_t* words, const int64_t* offsets,
+                  const int64_t* lengths, int64_t num_terms,
+                  int32_t doc_block, int64_t* out) {
+  for (int64_t t = 0; t < num_terms; ++t) {
+    const int64_t lo = offsets[t], n = lengths[t];
+    int64_t best = 0, run = 0;
+    uint64_t prev_blk = ~0ull;
+    for (int64_t i = 0; i < n; ++i) {
+      const uint64_t blk = (words[lo + i] >> 36) /
+                           static_cast<uint64_t>(doc_block);
+      run = (blk == prev_blk) ? run + 1 : 1;
+      prev_blk = blk;
+      if (run > best) best = run;
+    }
+    out[t] = best;
+  }
+}
+
+// Per-term document frequency over the CSR posting buffer: one pass,
+// counting doc-key changes (key = word >> 36) within each term's slice.
+// Replaces the numpy repeat+bincount pipeline (O(W) int64 temporaries).
+void sa_doc_freqs(const uint64_t* words, const int64_t* offsets,
+                  const int64_t* lengths, int64_t num_terms,
+                  int64_t* df_out) {
+  for (int64_t t = 0; t < num_terms; ++t) {
+    const int64_t lo = offsets[t], n = lengths[t];
+    int64_t df = 0;
+    uint64_t prev = ~0ull;
+    for (int64_t i = 0; i < n; ++i) {
+      const uint64_t key = words[lo + i] >> 36;
+      df += (key != prev);
+      prev = key;
+    }
+    df_out[t] = df;
+  }
+}
+
 }  // extern "C"

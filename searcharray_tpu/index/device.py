@@ -134,6 +134,13 @@ class DeviceIndex:
         out = np.zeros(V, dtype=np.int64)
         if W == 0:
             return out
+
+        from searcharray_tpu.index import native as native_mod
+
+        nat = native_mod.block_max(post.data, post.offsets, post.lengths,
+                                   doc_block)
+        if nat is not None:
+            return nat
         docs_blk = enc.keys_of(post.data).astype(np.int64) // doc_block
         tid = np.repeat(np.arange(V, dtype=np.int64), post.lengths)
         change = np.ones(W, dtype=bool)

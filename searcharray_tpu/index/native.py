@@ -16,7 +16,15 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-_SRC = os.path.join(_REPO_ROOT, "native", "indexer.cpp")
+# Repo layout first; pip-installed packages carry the source as package
+# data (_native_src/, copied there by setup.py's build_py hook).
+_SRC_CANDIDATES = (
+    os.path.join(_REPO_ROOT, "native", "indexer.cpp"),
+    os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                 "_native_src", "indexer.cpp"),
+)
+_SRC = next((p for p in _SRC_CANDIDATES if os.path.exists(p)),
+            _SRC_CANDIDATES[0])
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -29,11 +37,17 @@ def _so_path() -> str:
     The binary is always built on the local machine (it is compiled with
     -march=native and never committed); hashing the source — rather than
     comparing mtimes — guarantees a stale or foreign .so is never loaded.
-    """
+    Built next to the source when that directory is writable (repo
+    layout), else in a per-user cache dir (pip-installed to a read-only
+    site-packages)."""
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    return os.path.join(
-        _REPO_ROOT, "native", f"libsearcharray_native-{digest}.so")
+    so_dir = os.path.dirname(_SRC)
+    if not os.access(so_dir, os.W_OK):
+        so_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "searcharray_tpu")
+        os.makedirs(so_dir, exist_ok=True)
+    return os.path.join(so_dir, f"libsearcharray_native-{digest}.so")
 
 
 def _build_so(so: str) -> bool:
@@ -112,6 +126,40 @@ def get_lib():
             np.ctypeslib.ndpointer(np.uint32),  # dt_cols_out
             np.ctypeslib.ndpointer(np.int64),   # dt_rows_out
             np.ctypeslib.ndpointer(np.int64),   # sizes_out
+        ]
+        lib.sa_copy_segments.restype = None
+        lib.sa_copy_segments.argtypes = [
+            np.ctypeslib.ndpointer(np.int64),   # bufs (addresses)
+            np.ctypeslib.ndpointer(np.int32),   # seg_buf
+            np.ctypeslib.ndpointer(np.int64),   # starts
+            np.ctypeslib.ndpointer(np.int64),   # lens
+            ctypes.c_int64,                     # n_segs
+            np.ctypeslib.ndpointer(np.uint64),  # out
+        ]
+        lib.sa_compress_planes.restype = ctypes.c_int64
+        lib.sa_compress_planes.argtypes = [
+            np.ctypeslib.ndpointer(np.uint64),  # words
+            ctypes.c_int64,                     # n
+            ctypes.c_int32,                     # blk_bits
+            np.ctypeslib.ndpointer(np.int32),   # hdr_out
+            np.ctypeslib.ndpointer(np.uint32),  # pay_out
+        ]
+        lib.sa_block_max.restype = None
+        lib.sa_block_max.argtypes = [
+            np.ctypeslib.ndpointer(np.uint64),  # words
+            np.ctypeslib.ndpointer(np.int64),   # offsets
+            np.ctypeslib.ndpointer(np.int64),   # lengths
+            ctypes.c_int64,                     # num_terms
+            ctypes.c_int32,                     # doc_block
+            np.ctypeslib.ndpointer(np.int64),   # out
+        ]
+        lib.sa_doc_freqs.restype = None
+        lib.sa_doc_freqs.argtypes = [
+            np.ctypeslib.ndpointer(np.uint64),  # words
+            np.ctypeslib.ndpointer(np.int64),   # offsets
+            np.ctypeslib.ndpointer(np.int64),   # lengths
+            ctypes.c_int64,                     # num_terms
+            np.ctypeslib.ndpointer(np.int64),   # df_out
         ]
         _lib = lib
         return _lib
@@ -204,3 +252,65 @@ def invert_encode(term_ids: np.ndarray, doc_lens: np.ndarray,
     w, p, pairs = int(sizes[0]), int(sizes[1]), int(sizes[2])
     return (words[:w].copy(), present[:p].copy(), bounds[: p + 1].copy(),
             dt_cols[:pairs].copy(), dt_rows)
+
+
+def copy_segments(buffers: List[np.ndarray], seg_buf: np.ndarray,
+                  starts: np.ndarray, lens: np.ndarray) -> Optional[np.ndarray]:
+    """Gather word segments from per-batch buffers into one contiguous
+    uint64 buffer (memcpy per segment, no giant index arrays).
+
+    ``seg_buf[s]`` names the source buffer; ``starts/lens`` are word
+    ranges within it.  Returns None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buffers = [np.ascontiguousarray(b, dtype=np.uint64) for b in buffers]
+    addrs = np.asarray([b.ctypes.data for b in buffers], dtype=np.int64)
+    seg_buf = np.ascontiguousarray(seg_buf, dtype=np.int32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    out = np.empty(int(lens.sum()), dtype=np.uint64)
+    lib.sa_copy_segments(addrs, seg_buf, starts, lens, len(starts), out)
+    return out
+
+
+def compress_planes(words: np.ndarray, blk_bits: int):
+    """One-pass u64 words -> (hdr32, pay32, max_hdr), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint64)
+    hdr = np.empty(len(words), dtype=np.int32)
+    pay = np.empty(len(words), dtype=np.uint32)
+    max_hdr = lib.sa_compress_planes(words, len(words), int(blk_bits),
+                                     hdr, pay)
+    return hdr, pay, int(max_hdr)
+
+
+def block_max(words: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,
+              doc_block: int) -> Optional[np.ndarray]:
+    """Per-term max words in any doc_block-sized doc range, one C++ pass."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    out = np.empty(len(offsets), dtype=np.int64)
+    lib.sa_block_max(words, offsets, lengths, len(offsets),
+                     int(doc_block), out)
+    return out
+
+
+def doc_freqs(words: np.ndarray, offsets: np.ndarray,
+              lengths: np.ndarray) -> Optional[np.ndarray]:
+    """Per-term docfreq: one C++ pass counting doc-key changes per slice."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    out = np.empty(len(offsets), dtype=np.int64)
+    lib.sa_doc_freqs(words, offsets, lengths, len(offsets), out)
+    return out

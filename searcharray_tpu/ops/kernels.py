@@ -62,6 +62,18 @@ def compress_planes(words: np.ndarray, blk_bits: int):
     no emulated 64-bit compares, and headers stay sortable as one i32 key.
     Requires doc_key < 2**(31 - blk_bits) - 16 (shard more if not).
     """
+    from searcharray_tpu.index import native as native_mod
+
+    res = native_mod.compress_planes(words, blk_bits)
+    if res is not None:
+        hdr32, pay, max_hdr = res
+        if max_hdr >= PAD_HDR32 - 16:
+            raise ValueError(
+                "corpus too large for 32-bit posting headers at this "
+                "document length; shard the doc axis "
+                "(parallel.ShardedIndex)"
+            )
+        return hdr32, pay
     keys = (words >> np.uint64(64 - 28)).astype(np.int64)
     blks = ((words >> np.uint64(MSB_SHIFT)) & np.uint64((1 << 18) - 1)).astype(
         np.int64
