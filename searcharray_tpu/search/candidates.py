@@ -120,9 +120,11 @@ def qp_pad(q: int, width: int) -> int:
 def rows_source(dev: DeviceIndex, tids: Sequence[int]) -> int:
     """The term whose docs become the candidate rows: any query term's
     doc set is sound (the final score is zero outside every term's docs);
-    pick the one with the smallest candidate buffer, docfreq tie-break."""
-    return min(tids, key=lambda t: (kc_bucket(dev, t),
-                                    int(dev.doc_freqs[t])))
+    pick the FIRST term with the smallest candidate buffer.  No docfreq
+    tie-break: within one Kc bucket every choice costs the same program,
+    and the tie-break only churned the rarest_i in the group class key —
+    a fresh ~6-9 ms dispatch per tie permutation a serving tail saw."""
+    return min(tids, key=lambda t: kc_bucket(dev, t))
 
 
 def term_source(dev: DeviceIndex, n_words: int):

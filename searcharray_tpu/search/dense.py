@@ -342,6 +342,9 @@ def ensure_batch(dev: DeviceIndex, plane_tids: Sequence[int] = (),
     skey = tuple(sk for sk, _ in subs)
     parts = tuple(arrs for _, arrs in subs)
     fn = _fill_fn(dev, skey, cap_p, cap_t)
+    from searcharray_tpu.search import batch as _batch
+
+    _batch.DISPATCHES[0] += 1
     # absent pools (lazy init) pass through as None: jit flattens them to
     # zero leaves, and skey guarantees the traced body never touches them
     dev.plane_pool, dev.tf_pool = fn(dev.plane_pool, dev.tf_pool, dev.hdrs,
