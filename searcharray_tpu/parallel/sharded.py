@@ -24,6 +24,7 @@ import numpy as np
 
 from searcharray_tpu.index.builder import BuiltIndex
 from searcharray_tpu.ops import encoding as enc
+from searcharray_tpu.ops import kernels as K
 from searcharray_tpu.ops.kernels import (
     PAD_HDR32,
     blk_bits_for,
@@ -301,6 +302,7 @@ class ShardedIndex:
         slops = uniq_slops
 
         from searcharray_tpu.ops.encoding import LSB_BITS
+        from searcharray_tpu.search import candidates as C
 
         Q = len(queries_tids)
         N = self.corpus_size
@@ -313,6 +315,11 @@ class ShardedIndex:
             dfs = [int(self.doc_freqs[t]) for t in tids]
             idf = host_idf(kind, dfs, N, self.avg_doc_length)
             if len(tids) == 1:
+                kc = self._cand_term_kc(tids[0])
+                if kc is not None:
+                    groups.setdefault(("cterm", kc, kc), []).append(
+                        (qi, list(tids), idf))
+                    continue
                 term_rows.append((qi, tids[0], idf))
                 continue
             lengths = [int(self._host_lengths[:, t].sum()) for t in tids]
@@ -334,12 +341,37 @@ class ShardedIndex:
                     out = out.at[qi].set(self._span_tids(
                         tids, sl, kind=kind, k1=k1, b=b, idf=float(idf)))
                     continue
+                # candidate route: anchor-canonical order (the counted
+                # term first — it is also the rows source, mirroring the
+                # single-chip cspan class keys in search/batch.py)
+                from searcharray_tpu.search.batch import _canon_slop
+
                 u_lens = [int(self._host_lengths[:, t].sum()) for t in uniq]
+                uniq_c, mults_c, _ = _canon_slop(
+                    uniq, mults, [(0, n) for n in u_lens])
+                spec = self._cand_phrase_spec(uniq_c, rarest_i=0)
+                if spec is not None:
+                    _ri, Kc, srcs = spec
+                    gkey = ("cspan", len(uniq_c), 0, w, tuple(mults_c),
+                            srcs, Kc, Kc, 0)
+                    groups.setdefault(gkey, []).append((qi, uniq_c, idf))
+                    continue
                 anchor_i = int(np.argmin(u_lens))
                 bucket = bucket_of(int(max(
                     self._host_lengths[:, t].max(initial=1) for t in uniq)))
                 gkey = ("span", len(uniq), anchor_i, w, tuple(mults), bucket)
                 groups.setdefault(gkey, []).append((qi, uniq, idf))
+                continue
+            spec = self._cand_phrase_spec(tids)
+            if spec is not None:
+                rarest_i, Kc, srcs = spec
+                plan_key = tuple(
+                    (d, tuple(idxs))
+                    for d, idxs in _plan(len(tids), rarest_i))
+                pattern = tuple(tids.index(t) for t in tids)
+                gkey = ("cphrase", len(tids), plan_key, pattern, srcs, Kc,
+                        Kc, rarest_i)
+                groups.setdefault(gkey, []).append((qi, list(tids), idf))
                 continue
             split = int(np.argmin(lengths))
             plan_key = tuple(
@@ -351,6 +383,15 @@ class ShardedIndex:
             groups.setdefault(gkey, []).append((qi, tids, idf))
         for gkey, rows in groups.items():
             T = gkey[1]
+            if gkey[0] in ("cterm", "cphrase", "cspan"):
+                width = self._cand_width(gkey)
+                for c0 in range(0, len(rows), width):
+                    chunk = rows[c0: c0 + width]
+                    Qp = self._qp_pad(C.qp_pad(len(chunk), width))
+                    scores = self._cand_group(gkey, chunk, Qp, kind, k1, b)
+                    qidx = np.asarray([qi for qi, _, _ in chunk], np.int64)
+                    out = out.at[jnp.asarray(qidx)].set(scores)
+                continue
             # cap the group's in-program dense planes ([Qg, T, NS_shard])
             S_blk = 1 << self.blk_bits
             max_chunk = max(1, (1 << 27) // max(
@@ -462,6 +503,136 @@ class ShardedIndex:
         ns_d = jax.device_put(ns, shq)
         return fn(self.hdrs, self.pays, self.doc_lens, offs_d, ns_d,
                   idfs_d)[:Qg]
+
+    # ------------------------------------------------------------------
+    # sharded candidate-subset engine (search/candidates.py per shard)
+    # ------------------------------------------------------------------
+    def _qp_pad(self, qp: int) -> int:
+        """shard_map needs the queries axis divisible by the mesh axis."""
+        qaxis = self.mesh.shape["queries"]
+        return -(-qp // qaxis) * qaxis
+
+    def _local_words(self, t: int) -> int:
+        """Static per-shard slice size for a term: the max local posting
+        length over shards (every shard runs the same program, shorter
+        shards pad)."""
+        return int(self._host_lengths[:, t].max(initial=1))
+
+    def _cand_shim(self):
+        """candidates.py sizing helpers see the SHARD-local geometry."""
+        import types
+
+        return types.SimpleNamespace(blk_bits=self.blk_bits,
+                                     corpus_size=self.max_shard_docs)
+
+    def _cand_term_kc(self, t: int):
+        """Candidate-row bucket for a single-term query, or None when the
+        candidate route does not win (broad term / small corpus)."""
+        from searcharray_tpu.search import candidates as C
+
+        if self.corpus_size < C.CAND_TERM_MIN_DOCS:
+            return None
+        kc = K.expand_bucket_of(max(1, self._local_words(t)))
+        if kc * C.CAND_MAX_FRAC > self.max_shard_docs:
+            return None
+        return kc
+
+    def _cand_phrase_spec(self, tids, rarest_i=None):
+        """(rarest_i, Kc, srcs) when a phrase/span can run per shard on
+        candidate rows (shard-local: each chip compacts its own rarest
+        slice; no collective — candidates never cross shards)."""
+        from searcharray_tpu.search import candidates as C
+
+        if self.corpus_size < C.CAND_MIN_DOCS:
+            return None
+        lens = [self._local_words(t) for t in tids]
+        buckets = [K.expand_bucket_of(max(1, n)) for n in lens]
+        if rarest_i is None:
+            rarest_i = int(np.argmin(buckets))
+        Kc = buckets[rarest_i]
+        if Kc * C.CAND_MAX_FRAC > self.max_shard_docs:
+            return None
+        srcs = C.query_sources(None, lens)
+        n_pool = sum(1 for s in srcs if s == "pool")
+        if n_pool > shard_plane_geom(self)[1] - 1:
+            return None
+        return rarest_i, Kc, srcs
+
+    def _cand_width(self, gkey) -> int:
+        """Max queries per candidate group program (bounds the gathered
+        mini-planes / imap temporaries per shard)."""
+        from searcharray_tpu.search import candidates as C
+
+        shim = self._cand_shim()
+        if gkey[0] == "cterm":
+            return max(1, self._qp_pad(C.class_qp(shim, gkey[2])))
+        T, srcs, Kc = gkey[1], gkey[-4], gkey[-3]
+        width = max(1, C.class_qp(shim, Kc, srcs) // max(1, T))
+        n_pool = sum(1 for s in srcs if s == "pool")
+        if n_pool:
+            width = min(width, max(
+                1, (shard_plane_geom(self)[1] - 1) // n_pool))
+        return max(1, self._qp_pad(width))
+
+    def _cand_group(self, gkey, chunk, Qp: int, kind: str, k1: float,
+                    b: float):
+        """One shard_map program for a candidate class chunk -> [Qg, N]."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        S = self.num_shards
+        Qg = len(chunk)
+        idfs = np.zeros(Qp, np.float32)
+        for r, (_qi, _tids, idf) in enumerate(chunk):
+            idfs[r] = idf
+        idfs_d = jax.device_put(idfs, NamedSharding(self.mesh, P("queries")))
+        offsets_h = np.asarray(self.offsets)
+        shq = NamedSharding(self.mesh, P("docs", "queries"))
+        shq3 = NamedSharding(self.mesh, P("docs", "queries", None))
+        shs = NamedSharding(self.mesh, P("queries", None))
+        CAND_PROGRAMS[0] += 1
+        if gkey[0] == "cterm":
+            offs = np.zeros((S, Qp), np.int64)
+            ns = np.zeros((S, Qp), np.int64)
+            for r, (_qi, tids, _idf) in enumerate(chunk):
+                offs[:, r] = offsets_h[:, tids[0]]
+                ns[:, r] = self._host_lengths[:, tids[0]]
+            fn = _sharded_cand_fn(self, gkey, Qp, kind, k1, b)
+            return fn(self.hdrs, self.pays, self.doc_lens,
+                      jax.device_put(offs, shq), jax.device_put(ns, shq),
+                      idfs_d)[:Qg]
+        T, srcs, rarest_i = gkey[1], gkey[-4], gkey[-1]
+        mini_is = [i for i in range(T) if srcs[i] != "pool"]
+        pool_is = [i for i in range(T) if srcs[i] == "pool"]
+        pool_terms = list(dict.fromkeys(
+            tids[i] for _qi, tids, _idf in chunk for i in pool_is))
+        if pool_terms:
+            ensure_shard_planes(self, pool_terms, pin=pool_terms)
+        M = max(1, len(mini_is))
+        Pn = max(1, len(pool_is))
+        r_offs = np.zeros((S, Qp), np.int64)
+        r_ns = np.zeros((S, Qp), np.int64)
+        m_offs = np.zeros((S, Qp, M), np.int64)
+        m_ns = np.zeros((S, Qp, M), np.int64)
+        slots = np.zeros((Qp, Pn), np.int32)
+        for r, (_qi, tids, _idf) in enumerate(chunk):
+            rt = tids[rarest_i]
+            r_offs[:, r] = offsets_h[:, rt]
+            r_ns[:, r] = self._host_lengths[:, rt]
+            for j, i in enumerate(mini_is):
+                m_offs[:, r, j] = offsets_h[:, tids[i]]
+                m_ns[:, r, j] = self._host_lengths[:, tids[i]]
+            for j, i in enumerate(pool_is):
+                slots[r, j] = self.plane_slot[tids[i]]
+        fn = _sharded_cand_fn(self, gkey, Qp, kind, k1, b)
+        args = [self.hdrs, self.pays]
+        if pool_is:
+            args.append(self.plane_pool)
+        args += [self.doc_lens, jax.device_put(r_offs, shq),
+                 jax.device_put(r_ns, shq), jax.device_put(m_offs, shq3),
+                 jax.device_put(m_ns, shq3), jax.device_put(slots, shs),
+                 idfs_d]
+        return fn(*args)[:Qg]
 
     def _score_terms(self, tids_np: np.ndarray, idfs_np: np.ndarray,
                      kind: str, k1: float, b: float):
@@ -919,6 +1090,120 @@ def _sharded_pooled_group_fn(idx: ShardedIndex, skey, Qp: int, kind: str,
     @jax.jit
     def run(pool, doc_lens, slots, idfs):
         out = mapped(pool, doc_lens, slots, idfs)
+        out = jnp.moveaxis(out, 0, 1)  # [S, Qp, N_shard] -> [Qp, S, ...]
+        return out.reshape(out.shape[0], -1)[:, :num_real]
+
+    _pool_cache[key] = run
+    return run
+
+
+# candidate shard_map dispatches since import (tests pin the routing)
+CAND_PROGRAMS = [0]
+
+
+def _sharded_cand_fn(idx: ShardedIndex, gkey, Qp: int, kind: str,
+                     k1: float, b: float):
+    """shard_map program for a candidate class: each shard compacts its
+    LOCAL rarest-term slice into candidate rows, builds per-term
+    mini-planes (search/candidates.py bodies with N = the shard's doc
+    range), scores, and scatters into its local dense vector — work per
+    shard is O(local docfreq), not O(corpus/chip), and no collective is
+    needed (candidates are shard-local).  This is the sharded analog of
+    the single-chip cterm/cphrase/cspan routing (round-3 verdict item 3).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from searcharray_tpu.search import candidates as C
+
+    key = ("cgroup", idx.corpus_size, idx.max_shard_docs, idx.blk_bits,
+           idx.num_shards, float(idx.avg_doc_length), gkey, Qp, kind, k1, b)
+    fn = _pool_cache.get(key)
+    if fn is not None:
+        return fn
+
+    N_shard = idx.max_shard_docs
+    dev_static = {"N": N_shard, "blk_bits": idx.blk_bits}
+    avgdl = np.float32(max(idx.avg_doc_length, 1e-38))
+    num_real = idx.corpus_size
+
+    if gkey[0] == "cterm":
+        _, bucket, Kc = gkey
+
+        def local(hdr_s, pay_s, doc_lens_s, offs_q, ns_q, idfs_q):
+            hdr0, pay0, dl0 = hdr_s[0], pay_s[0], doc_lens_s[0]
+            tf, crows = jax.vmap(
+                lambda o_, n_: C.cterm_body(dev_static, Kc, bucket, hdr0,
+                                            pay0, o_, n_)
+            )(offs_q[0], ns_q[0])
+            out = C.finish_candidates(tf, crows, dl0, idfs_q, avgdl, kind,
+                                      k1, b, None, N_shard, N_shard)
+            return out[None]
+
+        in_specs = (P("docs", None), P("docs", None), P("docs", None),
+                    P("docs", "queries"), P("docs", "queries"),
+                    P("queries"))
+    else:
+        if gkey[0] == "cphrase":
+            _, T, plan_key, pattern, srcs, Kc, rbucket, _ri = gkey
+
+            def body(hdr0, pay0, pool0, ro, rn, mo, mn, sl):
+                return C.cphrase_body(dev_static, T, plan_key, pattern,
+                                      srcs, Kc, rbucket, hdr0, pay0, pool0,
+                                      ro, rn, mo, mn, sl)
+        else:  # cspan
+            _, T, anchor_i, w, mults, srcs, Kc, rbucket, _ri = gkey
+
+            def body(hdr0, pay0, pool0, ro, rn, mo, mn, sl):
+                return C.cspan_body(dev_static, T, anchor_i, w, mults, srcs,
+                                    Kc, rbucket, hdr0, pay0, pool0,
+                                    ro, rn, mo, mn, sl)
+
+        has_pool = any(s == "pool" for s in srcs)
+
+        def finish(freqs, crows, dl0, idfs_q):
+            return C.finish_candidates(freqs, crows, dl0, idfs_q, avgdl,
+                                       kind, k1, b, None, N_shard, N_shard)
+
+        if has_pool:
+            def local(hdr_s, pay_s, pool_s, doc_lens_s, r_offs_q, r_ns_q,
+                      m_offs_q, m_ns_q, slots_q, idfs_q):
+                hdr0, pay0, pool0 = hdr_s[0], pay_s[0], pool_s[0]
+                freqs, crows = jax.vmap(
+                    lambda ro, rn, mo, mn, sl: body(hdr0, pay0, pool0, ro,
+                                                    rn, mo, mn, sl)
+                )(r_offs_q[0], r_ns_q[0], m_offs_q[0], m_ns_q[0], slots_q)
+                return finish(freqs, crows, doc_lens_s[0], idfs_q)[None]
+
+            in_specs = (P("docs", None), P("docs", None),
+                        P("docs", None, None), P("docs", None),
+                        P("docs", "queries"), P("docs", "queries"),
+                        P("docs", "queries", None),
+                        P("docs", "queries", None), P("queries", None),
+                        P("queries"))
+        else:
+            def local(hdr_s, pay_s, doc_lens_s, r_offs_q, r_ns_q,
+                      m_offs_q, m_ns_q, slots_q, idfs_q):
+                hdr0, pay0 = hdr_s[0], pay_s[0]
+                freqs, crows = jax.vmap(
+                    lambda ro, rn, mo, mn, sl: body(hdr0, pay0, None, ro,
+                                                    rn, mo, mn, sl)
+                )(r_offs_q[0], r_ns_q[0], m_offs_q[0], m_ns_q[0], slots_q)
+                return finish(freqs, crows, doc_lens_s[0], idfs_q)[None]
+
+            in_specs = (P("docs", None), P("docs", None), P("docs", None),
+                        P("docs", "queries"), P("docs", "queries"),
+                        P("docs", "queries", None),
+                        P("docs", "queries", None), P("queries", None),
+                        P("queries"))
+
+    mapped = jax.shard_map(local, mesh=idx.mesh, in_specs=in_specs,
+                           out_specs=P("docs", "queries", None))
+
+    @jax.jit
+    def run(*args):
+        out = mapped(*args)
         out = jnp.moveaxis(out, 0, 1)  # [S, Qp, N_shard] -> [Qp, S, ...]
         return out.reshape(out.shape[0], -1)[:, :num_real]
 

@@ -235,15 +235,28 @@ def candidate_minis(dev_static, T: int, srcs, Kc: int, rarest_bucket: int,
     ``slots[j]``) or a mini bucket (searchsorted-align the raw slice at
     ``m_offs[j]/m_ns[j]``).  j indexes within each source kind in term
     order.  Returns (minis list of u32[Kc*S], rows int32[Kc])."""
+    r_keys, _b, _p, r_valid = _slice_keys(dev_static, hdrs, pays, r_off,
+                                          r_n, rarest_bucket)
+    rows, _cidx, _nv = _compact_rows(r_keys, r_valid, Kc, dev_static["N"])
+    minis = minis_for_rows(dev_static, T, srcs, Kc, rows, hdrs, pays, pool,
+                           m_offs, m_ns, slots)
+    return minis, rows
+
+
+def minis_for_rows(dev_static, T: int, srcs, Kc: int, rows, hdrs, pays,
+                   pool, m_offs, m_ns, slots):
+    """Per-term mini-planes over an EXTERNAL candidate row table.
+
+    ``rows`` is int32[Kc], sorted ascending, sentinel-padded with the
+    corpus size.  This is the shared second half of candidate_minis,
+    also used by the sharded rows= path (edismax phase pruning): the
+    caller supplies the rows (e.g. the main query's matched docs on this
+    shard) instead of compacting them from the rarest term's slice."""
     import jax.numpy as jnp
 
     N = dev_static["N"]
     blk_bits = dev_static["blk_bits"]
     S = 1 << blk_bits
-
-    r_keys, _b, _p, r_valid = _slice_keys(dev_static, hdrs, pays, r_off,
-                                          r_n, rarest_bucket)
-    rows, _cidx, _nv = _compact_rows(r_keys, r_valid, Kc, N)
 
     rows_clip = jnp.clip(rows, 0, N - 1)
     flat = (rows_clip[:, None] * jnp.int32(S)
@@ -284,7 +297,7 @@ def candidate_minis(dev_static, T: int, srcs, Kc: int, rarest_bucket: int,
                 jnp.zeros(Kc * S, jnp.uint32).at[sidx].set(
                     p_i, mode="drop"))
             jm += 1
-    return minis, rows
+    return minis
 
 
 def cphrase_body(dev_static, T: int, plan_key, pattern, srcs, Kc: int,
