@@ -541,9 +541,13 @@ class SearchArray(ExtensionArray):
         new = SearchArray([], tokenizer=self.tokenizer,
                           avoid_copies=self.avoid_copies)
         if self.avoid_copies:
-            # share immutable built + device buffers until either side
-            # mutates (mutation swaps its own holder's built)
-            new._attach(_IndexState(self._built, self._state.dev),
+            # share immutable built + device buffers (incl. the sharded
+            # runtime: DataFrame construction copies, and dropping it
+            # silently demoted mesh-indexed columns to the single-chip
+            # engine) until either side mutates (mutation swaps its own
+            # holder's built)
+            new._attach(_IndexState(self._built, self._state.dev,
+                                    sharded=self._state.sharded),
                         rows=self.rows.copy(), subset=self.subset)
         else:
             import copy as _copy
@@ -914,9 +918,11 @@ class SearchArray(ExtensionArray):
         ``slop`` may be an int or a per-query sequence (score_batch).
 
         With ``rows`` (a candidate doc-id subset; requires a full view,
-        fused similarity, slop=0, single chip) scores come back as
-        f32[Q, len(rows)] and compute is proportional to the subset —
-        the reference's phrase-phase cost contract (solr.py:328-338).
+        fused similarity, slop=0) scores come back as f32[Q, len(rows)]
+        and compute is proportional to the subset — the reference's
+        phrase-phase cost contract (solr.py:328-338).  Sharded fields
+        route through the mesh rows engine (each shard aligns postings
+        to its local slice of the rows).
         """
         import jax.numpy as jnp
 
@@ -931,17 +937,21 @@ class SearchArray(ExtensionArray):
             full_view = (not self.subset
                          and len(self.rows) == self.corpus_size)
             if (fused is None or (np.isscalar(slop) and slop != 0)
-                    or not np.isscalar(slop) or not full_view
-                    or self._state.sharded is not None):
+                    or not np.isscalar(slop) or not full_view):
                 raise ValueError(
-                    "rows= requires a fused similarity, slop=0, a full "
-                    "un-sliced view, and a single chip")
+                    "rows= requires a fused similarity, slop=0, and a "
+                    "full un-sliced view")
             kind, k1, b = fused
             qtids = []
             for q in queries:
                 q = self._check_token_arg(q)
                 qtids.append(self._resolve_tids([q] if isinstance(q, str)
                                                 else q))
+            sharded = self._state.sharded
+            if sharded is not None:
+                return sharded.score_batch_device(
+                    qtids, kind, k1, b,
+                    rows=np.asarray(rows, dtype=np.int64))
             return batch_mod.score_batch_fused(
                 self.dev, qtids, kind, k1, b, as_device=True,
                 rows=np.asarray(rows, dtype=np.int64))

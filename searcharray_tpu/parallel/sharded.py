@@ -262,7 +262,7 @@ class ShardedIndex:
 
     def score_batch_device(self, queries_tids, kind: str = "bm25",
                            k1: float = 1.2, b: float = 0.75,
-                           slop=0):
+                           slop=0, rows=None):
         """Mixed term/phrase batch -> f32[Q, N] device array (sharded).
 
         The sharded counterpart of batch.score_batch_fused(as_device=True),
@@ -275,6 +275,14 @@ class ShardedIndex:
         on top of this transparently (solr.py), so the full query DSL runs
         on a mesh.  ``slop`` is an int for the whole batch or a per-query
         sequence (mixed exact/slop batches).
+
+        With ``rows`` (a sorted global doc-id subset; requires slop=0)
+        scores come back as f32[Q, len(rows)] and per-shard compute is
+        proportional to the subset: each shard receives its LOCAL slice
+        of the row table, aligns every query term's postings to it
+        (candidates.minis_for_rows) and scores only those rows — the
+        sharded analog of the single-chip rows= path and the reference's
+        phrase-phase cost contract (solr.py:328-338).
         """
         import jax.numpy as jnp
 
@@ -283,6 +291,10 @@ class ShardedIndex:
 
         slops = ([int(slop)] * len(queries_tids) if np.isscalar(slop)
                  else [int(s) for s in slop])
+        if rows is not None:
+            if any(s != 0 for s in slops):
+                raise ValueError("rows= requires slop=0")
+            return self._score_rows_batch(queries_tids, rows, kind, k1, b)
         # dedup identical (query, slop) pairs (serving batches repeat
         # hot queries)
         keymap: dict = {}
@@ -632,6 +644,128 @@ class ShardedIndex:
                  jax.device_put(r_ns, shq), jax.device_put(m_offs, shq3),
                  jax.device_put(m_ns, shq3), jax.device_put(slots, shs),
                  idfs_d]
+        return fn(*args)[:Qg]
+
+    def _score_rows_batch(self, queries_tids, rows, kind: str, k1: float,
+                          b: float):
+        """Mixed term/phrase batch scored ONLY at global doc ids ``rows``
+        -> f32[Q, len(rows)] (sharded edismax phase pruning)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from searcharray_tpu.search import candidates as C
+        from searcharray_tpu.search.phrase import _plan
+        from searcharray_tpu.search.scoring import host_idf
+
+        rows = np.asarray(rows, dtype=np.int64)
+        order = np.argsort(rows, kind="stable")
+        unsorted = bool((np.diff(rows) < 0).any()) if len(rows) > 1 else False
+        rows_s = rows[order] if unsorted else rows
+        R = len(rows)
+        N = self.corpus_size
+        N_shard = self.max_shard_docs
+        S = self.num_shards
+        sid = rows_s // N_shard
+        loc = (rows_s % N_shard).astype(np.int32)
+        counts = np.bincount(sid, minlength=S)
+        # one row-table bucket shared by every group in the batch: the
+        # program class keys on Kc, so serving converges to a warm set
+        Kc = K.expand_bucket_of(int(max(1, counts.max())))
+        rtab = np.full((S, Kc), N_shard, np.int32)
+        flat = np.zeros(R, np.int64)
+        pos = 0
+        for s in range(S):
+            c = int(counts[s])
+            rtab[s, :c] = loc[pos: pos + c]
+            flat[pos: pos + c] = s * Kc + np.arange(c)
+            pos += c
+        if unsorted:
+            inv = np.empty(R, np.int64)
+            inv[order] = np.arange(R)
+            flat = flat[inv]
+        Rp = bucket_of(max(1, R))
+        flat_p = np.zeros(Rp, np.int32)
+        flat_p[:R] = flat
+        rtab_d = jax.device_put(rtab,
+                                NamedSharding(self.mesh, P("docs", None)))
+        flat_d = jnp.asarray(flat_p)
+
+        Q = len(queries_tids)
+        out = jnp.zeros((Q, R), jnp.float32)
+        groups: dict = {}
+        for qi, tids in enumerate(queries_tids):
+            if tids is None or len(tids) == 0 or any(t < 0 for t in tids):
+                continue
+            if any(int(self._host_lengths[:, t].sum()) == 0 for t in tids):
+                continue
+            lens = [self._local_words(t) for t in tids]
+            dfs = [int(self.doc_freqs[t]) for t in tids]
+            idf = host_idf(kind, dfs, N, self.avg_doc_length)
+            srcs = C.query_sources(None, lens)
+            T = len(tids)
+            if T == 1:
+                gkey = ("rphrase", 1, (), (0,), srcs, Kc, Kc, 0)
+            else:
+                split = int(np.argmin(lens))
+                plan_key = tuple((d, tuple(idxs))
+                                 for d, idxs in _plan(T, split))
+                pattern = tuple(tids.index(t) for t in tids)
+                gkey = ("rphrase", T, plan_key, pattern, srcs, Kc, Kc, 0)
+            groups.setdefault(gkey, []).append((qi, list(tids), idf))
+        for gkey, grows in groups.items():
+            width = self._cand_width(gkey)
+            for c0 in range(0, len(grows), width):
+                chunk = grows[c0: c0 + width]
+                Qp = self._qp_pad(C.qp_pad(len(chunk), width))
+                scores = self._rows_group(gkey, chunk, Qp, rtab_d, flat_d,
+                                          Rp, kind, k1, b)
+                qidx = np.asarray([qi for qi, _, _ in chunk], np.int64)
+                out = out.at[jnp.asarray(qidx)].set(scores[:, :R])
+        return out
+
+    def _rows_group(self, gkey, chunk, Qp: int, rtab_d, flat_d, Rp: int,
+                    kind: str, k1: float, b: float):
+        """One shard_map program for a rows= class chunk -> [Qg, Rp]."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        S = self.num_shards
+        Qg = len(chunk)
+        T, srcs = gkey[1], gkey[4]
+        idfs = np.zeros(Qp, np.float32)
+        for r, (_qi, _tids, idf) in enumerate(chunk):
+            idfs[r] = idf
+        idfs_d = jax.device_put(idfs,
+                                NamedSharding(self.mesh, P("queries")))
+        offsets_h = np.asarray(self.offsets)
+        shq3 = NamedSharding(self.mesh, P("docs", "queries", None))
+        shs = NamedSharding(self.mesh, P("queries", None))
+        mini_is = [i for i in range(T) if srcs[i] != "pool"]
+        pool_is = [i for i in range(T) if srcs[i] == "pool"]
+        pool_terms = list(dict.fromkeys(
+            tids[i] for _qi, tids, _idf in chunk for i in pool_is))
+        if pool_terms:
+            ensure_shard_planes(self, pool_terms, pin=pool_terms)
+        M = max(1, len(mini_is))
+        Pn = max(1, len(pool_is))
+        m_offs = np.zeros((S, Qp, M), np.int64)
+        m_ns = np.zeros((S, Qp, M), np.int64)
+        slots = np.zeros((Qp, Pn), np.int32)
+        for r, (_qi, tids, _idf) in enumerate(chunk):
+            for j, i in enumerate(mini_is):
+                m_offs[:, r, j] = offsets_h[:, tids[i]]
+                m_ns[:, r, j] = self._host_lengths[:, tids[i]]
+            for j, i in enumerate(pool_is):
+                slots[r, j] = self.plane_slot[tids[i]]
+        CAND_PROGRAMS[0] += 1
+        fn = _sharded_rows_fn(self, gkey, Qp, Rp, kind, k1, b)
+        args = [self.hdrs, self.pays]
+        if pool_is:
+            args.append(self.plane_pool)
+        args += [self.doc_lens, rtab_d, jax.device_put(m_offs, shq3),
+                 jax.device_put(m_ns, shq3), jax.device_put(slots, shs),
+                 idfs_d, flat_d]
         return fn(*args)[:Qg]
 
     def _score_terms(self, tids_np: np.ndarray, idfs_np: np.ndarray,
@@ -1206,6 +1340,102 @@ def _sharded_cand_fn(idx: ShardedIndex, gkey, Qp: int, kind: str,
         out = mapped(*args)
         out = jnp.moveaxis(out, 0, 1)  # [S, Qp, N_shard] -> [Qp, S, ...]
         return out.reshape(out.shape[0], -1)[:, :num_real]
+
+    _pool_cache[key] = run
+    return run
+
+
+def _sharded_rows_fn(idx: ShardedIndex, gkey, Qp: int, Rp: int, kind: str,
+                     k1: float, b: float):
+    """shard_map program for a rows= class: each shard aligns every query
+    term's postings to its LOCAL slice of the caller-supplied row table
+    (candidates.minis_for_rows) and scores only those rows — per-shard
+    work is O(subset + local docfreq), never O(corpus/chip).  The [S, Qp,
+    Kc] per-shard scores regather to the caller's global row order via a
+    host-built flat index (shard * Kc + slot)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from searcharray_tpu.search import candidates as C
+    from searcharray_tpu.search.dense import (
+        _popcount_f32,
+        _slot_sum,
+        phrase_counts_dense_planes,
+    )
+    from searcharray_tpu.search.scoring import apply_similarity_device
+
+    key = ("rgroup", idx.corpus_size, idx.max_shard_docs, idx.blk_bits,
+           idx.num_shards, float(idx.avg_doc_length), gkey, Qp, Rp, kind,
+           k1, b)
+    fn = _pool_cache.get(key)
+    if fn is not None:
+        return fn
+
+    N_shard = idx.max_shard_docs
+    dev_static = {"N": N_shard, "blk_bits": idx.blk_bits}
+    S_blk = 1 << idx.blk_bits
+    avgdl = np.float32(max(idx.avg_doc_length, 1e-38))
+    _, T, plan_key, pattern, srcs, Kc, _rb, _ri = gkey
+    has_pool = any(s == "pool" for s in srcs)
+    plan = [(d, list(idxs)) for d, idxs in plan_key]
+
+    def one_query(hdr0, pay0, pool0, rows_loc, mo, mn, sl):
+        minis = C.minis_for_rows(dev_static, T, srcs, Kc, rows_loc, hdr0,
+                                 pay0, pool0, mo, mn, sl)
+        if T == 1:
+            return _slot_sum(_popcount_f32(minis[0]), S_blk)
+        return phrase_counts_dense_planes(minis, list(pattern), plan, Kc,
+                                          S_blk)
+
+    def score_local(freqs, rows_loc, dl0, idfs_q):
+        valid = rows_loc < jnp.int32(N_shard)
+        dl = jnp.take(dl0, jnp.clip(rows_loc, 0, N_shard - 1))
+        scores = apply_similarity_device(kind, freqs, dl[None, :],
+                                         idfs_q[:, None], avgdl, k1, b)
+        return jnp.where(valid[None, :], scores, np.float32(0.0))
+
+    if has_pool:
+        def local(hdr_s, pay_s, pool_s, dl_s, rtab_s, mo_q, mn_q, sl_q,
+                  idfs_q):
+            hdr0, pay0, pool0 = hdr_s[0], pay_s[0], pool_s[0]
+            rows_loc = rtab_s[0]
+            freqs = jax.vmap(
+                lambda mo, mn, sl: one_query(hdr0, pay0, pool0, rows_loc,
+                                             mo, mn, sl)
+            )(mo_q[0], mn_q[0], sl_q)
+            return score_local(freqs, rows_loc, dl_s[0], idfs_q)[None]
+
+        in_specs = (P("docs", None), P("docs", None),
+                    P("docs", None, None), P("docs", None),
+                    P("docs", None), P("docs", "queries", None),
+                    P("docs", "queries", None), P("queries", None),
+                    P("queries"))
+    else:
+        def local(hdr_s, pay_s, dl_s, rtab_s, mo_q, mn_q, sl_q, idfs_q):
+            hdr0, pay0 = hdr_s[0], pay_s[0]
+            rows_loc = rtab_s[0]
+            freqs = jax.vmap(
+                lambda mo, mn, sl: one_query(hdr0, pay0, None, rows_loc,
+                                             mo, mn, sl)
+            )(mo_q[0], mn_q[0], sl_q)
+            return score_local(freqs, rows_loc, dl_s[0], idfs_q)[None]
+
+        in_specs = (P("docs", None), P("docs", None), P("docs", None),
+                    P("docs", None), P("docs", "queries", None),
+                    P("docs", "queries", None), P("queries", None),
+                    P("queries"))
+
+    mapped = jax.shard_map(local, mesh=idx.mesh, in_specs=in_specs,
+                           out_specs=P("docs", "queries", None))
+
+    @jax.jit
+    def run(*args):
+        *margs, flat_idx = args
+        out = mapped(*margs)                       # [S, Qp, Kc]
+        out = jnp.moveaxis(out, 0, 1)              # [Qp, S, Kc]
+        out = out.reshape(out.shape[0], -1)        # [Qp, S*Kc]
+        return jnp.take(out, flat_idx, axis=1)     # [Qp, Rp]
 
     _pool_cache[key] = run
     return run

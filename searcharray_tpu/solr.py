@@ -202,9 +202,10 @@ def _ngram_phases(frame, search_terms, phases, similarity,
 
     With ``rows`` (the main query's matched docs) a phase's grams score
     only those rows — compute proportional to matches, not corpus (the
-    reference's cost contract, solr.py:328-338).  Slop phases, non-fused
-    similarities, and sharded fields keep the full-corpus mask-after
-    path, which is numerically identical (per-row phrase scores are
+    reference's cost contract, solr.py:328-338) — on a single chip AND on
+    a mesh (each shard scores its local slice of the rows).  Slop phases
+    and non-fused similarities keep the full-corpus mask-after path,
+    which is numerically identical (per-row phrase scores are
     independent and use whole-index stats).
 
     Returns a list of (total, explain, rows_used) per phase."""
@@ -215,7 +216,6 @@ def _ngram_phases(frame, search_terms, phases, similarity,
         if use is not None and (slop != 0 or any(
                 getattr(similarity.get(f, default_bm25), "_fused",
                         None) is None
-                or get_field(frame, f)._state.sharded is not None
                 for f in fields)):
             use = None
         rows_p.append(use)

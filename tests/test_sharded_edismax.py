@@ -97,3 +97,29 @@ def test_sharded_score_batch_topk(frames):
     for i in range(len(queries)):
         np.testing.assert_allclose(dense[i][si[i]], ss[i], rtol=1e-6,
                                    atol=1e-7)
+
+
+def test_sharded_edismax_phase_pruning_engaged(frames):
+    """With the subset threshold forced, sharded edismax phrase phases
+    run on the main query's matched rows through the mesh rows engine
+    (no full-corpus phrase scoring) and stay in exact parity."""
+    from searcharray_tpu import solr as solr_mod
+    from searcharray_tpu.parallel import sharded as sharded_mod
+
+    sharded, single = frames
+    case = dict(q="what is the star", qf=["body", "title^3"], mm="2",
+                pf=["body"], pf2=["body", "title"], pf3=["body"])
+    q = case.pop("q")
+    d_scores, d_explain = edismax(single, q=q, **case)
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(solr_mod, "PHASE_SUBSET_MIN_DOCS", 0)
+        mp.setattr(solr_mod, "PHASE_SUBSET_MAX_FRAC", 0)
+        before = sharded_mod.CAND_PROGRAMS[0]
+        s_scores, s_explain = edismax(sharded, q=q, **case)
+        n_rows_programs = sharded_mod.CAND_PROGRAMS[0] - before
+    finally:
+        mp.undo()
+    assert n_rows_programs > 0, "sharded rows= phase pruning not engaged"
+    assert s_explain == d_explain
+    np.testing.assert_allclose(s_scores, d_scores, rtol=1e-6, atol=1e-7)
