@@ -253,6 +253,33 @@ def _fill_fn(dev: DeviceIndex, skey: tuple, cap_p: int, cap_t: int):
     return fn
 
 
+def _canonical_fill_skey(dev: DeviceIndex, want_p: bool, want_t: bool):
+    """The fixed sub-fill structure for this corpus: one _FILL_CHUNK-wide
+    section per (kind, expand-bucket) the corpus can ever produce.  Keyed
+    only on which pools exist, so the fill program compiles once per
+    corpus instead of once per batch-miss composition."""
+    key = ("cskey", want_p, want_t)
+    cached = dev.__dict__.get("_fill_skeys")
+    if cached is None:
+        cached = dev._fill_skeys = {}
+    skey = cached.get(key)
+    if skey is None:
+        max_len = (int(dev.postings.lengths.max())
+                   if dev.postings.num_terms else 1)
+        top = K.expand_bucket_of(max(1, max_len))
+        buckets = []
+        b = 4096
+        while True:
+            buckets.append(b)
+            if b >= top:
+                break
+            b <<= 2
+        skey = tuple(("p", b) for b in buckets if want_p) + tuple(
+            ("t", b) for b in buckets if want_t)
+        cached[key] = skey
+    return skey
+
+
 def _subfills(dev: DeviceIndex, which: str, new, cap: int):
     """Chunk newly assigned (tid, slot) rows into quantized sub-fill
     specs, grouped by coarse posting bucket."""
@@ -331,24 +358,56 @@ def ensure_batch(dev: DeviceIndex, plane_tids: Sequence[int] = (),
     cap_t = 0 if dev.tf_pool is None else dev.tf_pool.shape[0]
     new_t_terms = [x for x in new_t if not isinstance(x[0], tuple)]
     new_t_sigs = [x for x in new_t if isinstance(x[0], tuple)]
-    subs = (_subfills(dev, "p", new_p, cap_p)
-            + _subfills(dev, "t", new_t_terms, cap_t)
-            + _phrase_subfills(dev, new_t_sigs))
-    if not subs:
+    term_subs = (_subfills(dev, "p", new_p, cap_p)
+                 + _subfills(dev, "t", new_t_terms, cap_t))
+    ph_subs = _phrase_subfills(dev, new_t_sigs)
+    if not term_subs and not ph_subs:
         return
-    # canonical order for program reuse; sorts "p" sub-fills ahead of
-    # "ph"/"phs" so phrase rows read already-filled planes
-    subs.sort(key=lambda s: repr(s[0]))
-    skey = tuple(sk for sk, _ in subs)
-    parts = tuple(arrs for _, arrs in subs)
-    fn = _fill_fn(dev, skey, cap_p, cap_t)
     from searcharray_tpu.search import batch as _batch
 
-    _batch.DISPATCHES[0] += 1
-    # absent pools (lazy init) pass through as None: jit flattens them to
-    # zero leaves, and skey guarantees the traced body never touches them
-    dev.plane_pool, dev.tf_pool = fn(dev.plane_pool, dev.tf_pool, dev.hdrs,
-                                     dev.pays, parts)
+    # Term fills dispatch through ONE canonical program whose structure
+    # (every (kind, bucket) section this corpus can produce, fixed
+    # _FILL_CHUNK width, empty sections cond-skipped at k_real == 0) is
+    # the same for every batch.  A program keyed on the batch's actual
+    # miss composition — the previous design — recompiles per distinct
+    # composition, and the composition depends on live pool state, so
+    # steady serving with a varied rare tail minted fresh 1-2 s XLA
+    # compiles indefinitely (measured: 1M serving at 430 qps pipelined
+    # with compile stalls vs ~1.3k qps warm).  Overflow beyond one
+    # _FILL_CHUNK per section runs extra waves of the same program.
+    if term_subs:
+        queues: dict = {}
+        for sk, part in term_subs:
+            queues.setdefault(sk, []).append(part)
+        skey = _canonical_fill_skey(dev, want_p=cap_p > 0, want_t=cap_t > 0)
+        assert all(sk in skey for sk in queues), (
+            "sub-fill outside the corpus's canonical structure",
+            list(queues), skey)
+        empty = {
+            sk: (np.zeros(_FILL_CHUNK, np.int32), np.zeros(_FILL_CHUNK,
+                 np.int32), np.zeros(_FILL_CHUNK, np.int32), np.int32(0))
+            for sk in skey}
+        n_waves = max(len(q) for q in queues.values())
+        fn = _fill_fn(dev, skey, cap_p, cap_t)
+        for w in range(n_waves):
+            parts = tuple(queues[sk][w] if w < len(queues.get(sk, ()))
+                          else empty[sk] for sk in skey)
+            _batch.DISPATCHES[0] += 1
+            # absent pools (lazy init) pass through as None: jit flattens
+            # them to zero leaves, and skey never touches them
+            dev.plane_pool, dev.tf_pool = fn(dev.plane_pool, dev.tf_pool,
+                                             dev.hdrs, dev.pays, parts)
+
+    # Phrase-row fills run per structural recipe key (fkey): unbounded
+    # fkey variety would destabilise the canonical program, and
+    # promotions are rare events, so an extra ~9 ms dispatch per distinct
+    # fkey is the right trade.  Plane sections above ran first, so recipe
+    # planes are resident before these read them.
+    for fkey, part in ph_subs:
+        fn = _fill_fn(dev, (fkey,), cap_p, cap_t)
+        _batch.DISPATCHES[0] += 1
+        dev.plane_pool, dev.tf_pool = fn(dev.plane_pool, dev.tf_pool,
+                                         dev.hdrs, dev.pays, (part,))
 
 
 def ensure_planes(dev: DeviceIndex, tids: Sequence[int], pin=()) -> None:
