@@ -1,8 +1,11 @@
-"""Ad-hoc: dispatch census for 8.8M serving batches from the bench cache."""
+"""Dispatch census for 8.8M serving batches from the bench cache."""
 import sys
 import time
 
 import numpy as np
+
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import SCALES, get_index, serving_queries, slop_queries
 

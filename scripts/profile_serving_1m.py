@@ -1,4 +1,4 @@
-"""Ad-hoc: profile 1M serving batches from the saved bench cache."""
+"""Profile 1M serving batches from the saved bench cache."""
 import cProfile
 import io
 import pstats
@@ -6,6 +6,9 @@ import sys
 import time
 
 import numpy as np
+
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import SCALES, get_index, serving_queries, slop_queries
 

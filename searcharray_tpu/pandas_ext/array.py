@@ -30,6 +30,7 @@ from searcharray_tpu.index.builder import (
     BuiltIndex,
     build_index,
     build_index_from_terms,
+    replace_docs,
     ws_tokenizer,
 )
 from searcharray_tpu.index.device import DeviceIndex
@@ -192,13 +193,14 @@ class _IndexState:
     makes a new holder — copy-on-write.
     """
 
-    __slots__ = ("built", "dev", "sharded")
+    __slots__ = ("built", "dev", "sharded", "cache_gt_than")
 
     def __init__(self, built: BuiltIndex, dev: Optional[DeviceIndex] = None,
                  sharded=None):
         self.built = built
         self.dev = dev
         self.sharded = sharded  # parallel.ShardedIndex when mesh-indexed
+        self.cache_gt_than = 25  # pool-admission threshold (see warm())
 
 
 class SearchArray(ExtensionArray):
@@ -287,12 +289,21 @@ class SearchArray(ExtensionArray):
 
             arr._state.sharded = ShardedIndex.build(built, mesh=mesh)
         if autowarm:
-            arr.warm()
+            arr.warm(cache_gt_than=cache_gt_than)
+        else:
+            arr._state.cache_gt_than = cache_gt_than
         return arr
 
-    def warm(self):
+    def warm(self, cache_gt_than: Optional[int] = None):
         """Warm the index for serving (the analog of the reference's df/tf
         cache warm, middle_out.py:337-342 — our dfs are precomputed).
+
+        ``cache_gt_than`` is the pool-admission threshold: only terms
+        with more than this many posting words are prewarmed (the
+        reference's meaning at `/root/reference/searcharray/phrase/
+        middle_out.py:518` — posns cached only for terms longer than the
+        threshold; here the caches are the device tf/plane pools).
+        Defaults to the value given at :meth:`index` time (25).
 
         Two costs are hidden here: XLA compilation of the fused scoring
         kernel per posting-bucket size, and the dense engine's pools —
@@ -301,8 +312,11 @@ class SearchArray(ExtensionArray):
         frequent terms skip their pool fills."""
         from searcharray_tpu.ops.kernels import bucket_of
 
+        if cache_gt_than is None:
+            cache_gt_than = getattr(self._state, "cache_gt_than", 25)
+        self._state.cache_gt_than = cache_gt_than
         lengths = self._built.postings.lengths
-        common = np.flatnonzero(lengths > 255)
+        common = np.flatnonzero(lengths > cache_gt_than)
         seen = set()
         for tid in common:
             bkt = bucket_of(int(lengths[tid]))
@@ -313,8 +327,10 @@ class SearchArray(ExtensionArray):
 
         if dense_mod.dense_eligible(self.dev) and len(common):
             hot = common[np.argsort(-lengths[common], kind="stable")]
-            tf_hot = [int(t) for t in hot[: dense_mod.tf_capacity(self.dev)
-                                          - 8]]
+            # max(0, ...): a negative cap would slice from the END of hot
+            # and pin more terms than the pool holds
+            tf_cap = max(0, dense_mod.tf_capacity(self.dev) - 8)
+            tf_hot = [int(t) for t in hot[:tf_cap]]
             plane_hot = [int(t)
                          for t in hot[: dense_mod.plane_capacity(self.dev)
                                       // 2]]
@@ -367,12 +383,14 @@ class SearchArray(ExtensionArray):
         posns = {}
         for tid in tids:
             term = b.vocab.get_term(int(tid))
-            tfs[term] = 1
             sl = b.postings.term_slice(int(tid))
             keys = enc.keys_of(sl)
             mine = sl[keys == np.uint64(corpus_row)]
             _, p = enc.decode_words(mine)
             posns[term] = p.astype(np.uint32)
+            # tf = positions in this doc (reference builds the row's tf the
+            # same way, postings.py:213-227)
+            tfs[term] = max(1, len(p))
         return Terms(tfs, doc_len=int(b.doc_lens[corpus_row]), posns=posns,
                      encoded=False)
 
@@ -429,35 +447,45 @@ class SearchArray(ExtensionArray):
                 [Terms({}) if pd.isna(v) else v for v in value], dtype=object
             )
 
-        # Rebuild-on-write: materialise the backing corpus as Terms rows,
-        # apply the assignment, rebuild the index (the reference warns this
-        # path is slow too, postings.py:409-414).
-        all_rows = [
-            self._row_to_terms(i) for i in range(self._built.corpus_size)
-        ]
+        # Delta-rebuild-on-write: only the mutated docs are re-indexed and
+        # spliced into the CSR (builder.replace_docs) — O(assigned docs +
+        # total words), not the O(corpus x decode) full materialisation the
+        # reference warns about (postings.py:409-414).
         # De-alias: a logical position whose backing row is shared with
         # another logical position of this view (take/fancy-index results
         # repeat backing rows) gets its own fresh backing row, so assigning
         # one position never changes its aliases.
         counts = np.bincount(self.rows, minlength=self._built.corpus_size)
+        next_row = self._built.corpus_size
         new_rows = self.rows.copy()
         appended = False
+        doc_ids: List[int] = []
+        vals: List[Terms] = []
         for pos, v in zip(logical, value):
             if isinstance(v, dict):
                 v = Terms(v, doc_len=len(v))
             backing = int(self.rows[int(pos)])
             if counts[backing] > 1:
-                new_rows[int(pos)] = len(all_rows)
-                all_rows.append(v)
+                backing = next_row
+                next_row += 1
+                new_rows[int(pos)] = backing
                 appended = True
-            else:
-                all_rows[backing] = v
+            doc_ids.append(backing)
+            vals.append(v)
         # Swap the shared holder in place: all pandas views of this array
         # observe the mutation; copies (separate holders) do not.
-        self._state.built = build_index_from_terms(
-            np.asarray(all_rows, dtype=object), Terms
-        )
+        self._state.built = replace_docs(self._built,
+                                         np.asarray(doc_ids, dtype=np.int64),
+                                         vals, Terms)
         self._state.dev = None
+        if self._state.sharded is not None:
+            # re-shard the mutated index on the same mesh so mesh-routed
+            # queries never read the stale partition
+            from searcharray_tpu.parallel.sharded import ShardedIndex
+
+            mesh = self._state.sharded.mesh
+            self._state.sharded = ShardedIndex.build(self._state.built,
+                                                     mesh=mesh)
         if appended:
             self.rows = new_rows
             self.subset = True
@@ -650,8 +678,22 @@ class SearchArray(ExtensionArray):
             "        -------------------------\n"
             f"        Doc/Term Matrix: {_bytes_h(b.doc_term.nbytes)}\n"
             f"        Positions:       {_bytes_h(b.postings.nbytes)}\n"
-            f"        Term Dictionary: {_bytes_h(b.vocab.nbytes)}\n\n"
+            f"        Term Dictionary: {_bytes_h(b.vocab.nbytes)}\n"
         )
+        # device-side serving pools (the largest HBM allocations; the
+        # plane pool's budget alone is 3 GB at big-corpus shapes)
+        dev = self._state.dev
+        if dev is not None:
+            for pool, slots, label in (
+                (dev.plane_pool, dev.plane_slot, "Plane Pool"),
+                (dev.tf_pool, dev.tf_slot, "TF Pool"),
+            ):
+                if pool is not None:
+                    report += (
+                        f"        {label}:      {_bytes_h(pool.nbytes)} "
+                        f"({len(slots)}/{pool.shape[0]} slots)\n"
+                    )
+        report += "\n"
         cum = 0
         for i, (term, nb) in enumerate(sizes):
             cum += nb

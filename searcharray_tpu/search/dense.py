@@ -156,13 +156,17 @@ def _alloc_slots(slot_map, free: list, pin: set, tids: Sequence[int]):
 
 
 def _fill_fn(dev: DeviceIndex, skey: tuple, cap_p: int, cap_t: int):
-    """jit (both pools donated): one program applying every sub-fill of a
-    batch — expanded term planes into the plane pool, tf vectors into the
-    tf pool, and cached phrase-freq rows ("ph" exact / "phs" slop, which
-    read freshly filled planes — the canonical sub-fill sort puts "p"
-    first, so the data dependency holds inside the one program) into the
-    tf pool.  ``skey`` is the ordered tuple of sub-fill shape keys.
-    Padding rows carry slot == capacity and are dropped by the scatter."""
+    """jit (both pools donated): one program applying a tuple of
+    sub-fills — expanded term planes into the plane pool, tf vectors into
+    the tf pool, and cached phrase-freq rows ("ph" exact / "phs" slop)
+    into the tf pool.  ``skey`` is the ordered tuple of sub-fill shape
+    keys.  Term fills dispatch through the corpus-canonical skey
+    (_canonical_fill_skey, "p" sections ahead of "t"); phrase-row fills
+    dispatch as separate per-fkey programs AFTER the term waves, so their
+    plane reads see the freshly filled pool through the threaded
+    ``dev.plane_pool`` value (the data dependency holds across dispatches,
+    not inside one program).  Padding rows carry slot == capacity and are
+    dropped by the scatter."""
     import jax
 
     key = ("fill", dev.corpus_size, dev.blk_bits, skey, cap_p, cap_t)
@@ -380,9 +384,14 @@ def ensure_batch(dev: DeviceIndex, plane_tids: Sequence[int] = (),
         for sk, part in term_subs:
             queues.setdefault(sk, []).append(part)
         skey = _canonical_fill_skey(dev, want_p=cap_p > 0, want_t=cap_t > 0)
-        assert all(sk in skey for sk in queues), (
-            "sub-fill outside the corpus's canonical structure",
-            list(queues), skey)
+        if not all(sk in skey for sk in queues):
+            # an out-of-structure sub-fill silently dropped by the
+            # skey-driven parts tuple would leave stale pool rows that
+            # score as garbage — fail loudly (survives python -O,
+            # unlike an assert)
+            raise RuntimeError(
+                "sub-fill outside the corpus's canonical structure: "
+                f"{sorted(set(queues) - set(skey))} not in {skey}")
         empty = {
             sk: (np.zeros(_FILL_CHUNK, np.int32), np.zeros(_FILL_CHUNK,
                  np.int32), np.zeros(_FILL_CHUNK, np.int32), np.int32(0))

@@ -30,14 +30,37 @@ def hbm_report(index=None) -> Dict[str, int]:
     if index is not None:
         dev = index
         # accept SearchArray, DeviceIndex, or ShardedIndex
+        sharded = getattr(getattr(dev, "_state", None), "sharded", None)
         if hasattr(dev, "dev"):
             dev = dev.dev
         for name in ("hdrs", "pays", "doc_lens", "offsets", "lengths"):
             arr = getattr(dev, name, None)
             if arr is not None and hasattr(arr, "nbytes"):
                 report[f"index.{name}"] = int(arr.nbytes)
+        # serving pools — the largest allocations an operator sees (the
+        # plane pool's budget alone is 3 GB); residency counts alongside
+        for pool, slot_map, label in (
+            (getattr(dev, "plane_pool", None), getattr(dev, "plane_slot",
+                                                       None), "plane_pool"),
+            (getattr(dev, "tf_pool", None), getattr(dev, "tf_slot", None),
+             "tf_pool"),
+        ):
+            if pool is not None:
+                report[f"pool.{label}"] = int(pool.nbytes)
+                if slot_map is not None:
+                    report[f"pool.{label}.slots_used"] = len(slot_map)
+                    report[f"pool.{label}.slots_total"] = int(pool.shape[0])
+        if sharded is not None:
+            for name in ("hdrs", "pays", "doc_lens", "plane_pool",
+                         "tf_pool"):
+                arr = getattr(sharded, name, None)
+                if arr is not None and hasattr(arr, "nbytes"):
+                    report[f"sharded.{name}"] = int(arr.nbytes)
         report["index.total"] = sum(
-            v for k, v in report.items() if k.startswith("index.")
+            v for k, v in report.items()
+            if (k.startswith(("index.", "sharded.")) or
+                (k.startswith("pool.") and not k.endswith(
+                    ("slots_used", "slots_total"))))
         )
     try:
         stats = jax.devices()[0].memory_stats()

@@ -288,3 +288,62 @@ def test_reference_import_paths():
 
     assert SA2 is SearchArray and T2 is Terms
     assert callable(sim2) and callable(ed2)
+
+
+# ---------------------------------------------------------------------------
+# incremental __setitem__ (builder.replace_docs delta splice)
+# ---------------------------------------------------------------------------
+def test_setitem_delta_matches_fresh_rebuild():
+    """Mutating rows must produce an index identical (scores, dfs,
+    doc_term, postings) to rebuilding the whole corpus from scratch —
+    including new-vocabulary terms and multi-row assignment."""
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(50)]
+    corpus = [" ".join(rng.choice(vocab, size=rng.integers(2, 12)))
+              for _ in range(400)]
+    arr = SearchArray.index(corpus)
+    donor = SearchArray.index(
+        ["brand new words here", "t1 t1 overlap t2"])
+    arr[7] = donor[0]
+    arr[[100, 399]] = donor[[1, 0]]
+
+    corpus2 = list(corpus)
+    corpus2[7] = "brand new words here"
+    corpus2[100] = "t1 t1 overlap t2"
+    corpus2[399] = "brand new words here"
+    ref = SearchArray.index(corpus2)
+    for q in ["t0", "brand", "overlap", ["t1", "t1"], ["new", "words"]]:
+        np.testing.assert_allclose(
+            np.asarray(arr.score(q)), np.asarray(ref.score(q)),
+            rtol=1e-6, atol=1e-6, err_msg=str(q))
+    assert arr.docfreq("brand") == ref.docfreq("brand") == 2
+    assert arr.avg_doc_length == pytest.approx(ref.avg_doc_length)
+    # postings buffers are equal up to term-id permutation
+    np.testing.assert_array_equal(
+        np.sort(arr._built.postings.data), np.sort(ref._built.postings.data))
+
+
+def test_setitem_dealias_appends_backing_rows():
+    """Assigning through a take-view that repeats backing rows must not
+    mutate the aliases (backing row gets copied)."""
+    arr = SearchArray.index(CORPUS)
+    taken = arr.take([0, 0, 1])
+    donor = SearchArray.index(["solo"])
+    taken[0] = donor[0]
+    assert taken[1].termfreq("bar") == 2  # alias untouched
+    assert taken[0].termfreq("solo") == 1
+    assert arr[0].termfreq("bar") == 2    # original untouched
+
+
+def test_setitem_repeated_position_last_wins():
+    arr = SearchArray.index(CORPUS)
+    donor = SearchArray.index(["first version", "second version"])
+    arr[[2, 2]] = donor[[0, 1]]
+    assert arr[2].termfreq("second") == 1
+    assert "first" not in dict(arr[2].terms())
+
+
+def test_row_scalar_termfreq_counts_positions():
+    arr = SearchArray.index(["the quick the lazy the"])
+    assert arr[0].termfreq("the") == 3
+    assert arr[0].termfreq("quick") == 1
