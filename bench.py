@@ -150,6 +150,35 @@ def get_index(scale_key, n_docs, save_base, load_base):
     return docs, build_s
 
 
+def get_title_index(scale_key, n_docs, save_base, load_base):
+    """Short title field (first 8 tokens of each body doc) for the
+    edismax tier — cached beside the body index."""
+    from searcharray_tpu import SearchArray
+    from searcharray_tpu.index.store import load_index, save_index
+
+    for base in (load_base, save_base):
+        if base:
+            d = cache_dir(base, scale_key + "-title")
+            if os.path.exists(os.path.join(d, "index.json")):
+                t0 = time.perf_counter()
+                built = load_index(d)
+                arr = SearchArray([])
+                arr._attach(built)
+                log(f"title index loaded from {d} in "
+                    f"{time.perf_counter() - t0:.1f}s")
+                return arr
+    corpus = build_corpus(n_docs)
+    titles = [" ".join(t.split()[:8]) for t in corpus]
+    del corpus
+    t0 = time.perf_counter()
+    arr = SearchArray.index(titles, autowarm=False)
+    log(f"title index build: {time.perf_counter() - t0:.2f}s")
+    if save_base:
+        d = cache_dir(save_base, scale_key + "-title")
+        save_index(arr._built, d)
+    return arr
+
+
 TERM_QUERIES = ["what", "star", "purpose", "w17", "w333", "w4095"]
 PHRASE_QUERIES = [
     ["what", "is"],
@@ -356,7 +385,45 @@ def main():
     assert out[-1][0].shape == (144, 10)
     results["pipelined"] = pipe_qps
 
-    qps = max(results.values())
+    # edismax tier: the reference's headline multi-field DSL
+    # (test_msmarco.py / test_tmdb.py usage) — title^2 + body, mm, tie,
+    # pf + pf2 with the rows= candidate pruning engaged at scale, ranked
+    # top-10 per query (device top-k; only 2k values cross the tunnel).
+    import pandas as pd
+
+    from searcharray_tpu.solr import edismax
+
+    title = get_title_index(args.docs, n_docs, args.save, args.load)
+    df = pd.DataFrame({"title": title, "body": docs})
+    ed_queries = [
+        "what is the purpose", "star trek", "purpose of star",
+        "what is w17", "w333 w4095", "star w5 trek",
+        "the purpose of", "w1000 w2000 w3000", "what w42",
+        "star trek purpose", "w7 w8 w9", "w100 w200",
+    ]
+    ed_kw = dict(qf=["title^2", "body"], mm="2<75%", tie=0.1,
+                 pf=["title", "body"], pf2=["body"], top_k=10)
+    log("warming edismax tier...")
+    for _ in range(2):
+        for q in ed_queries:
+            edismax(df, q=q, **ed_kw)
+    ed_reps = 5 if n_docs <= SCALES["1m"] else 2
+    ed_ms = []
+    t0 = time.perf_counter()
+    for _ in range(ed_reps):
+        for q in ed_queries:
+            tq = time.perf_counter()
+            (sc, ix), _exp = edismax(df, q=q, **ed_kw)
+            ed_ms.append(1000.0 * (time.perf_counter() - tq))
+    edismax_qps = len(ed_ms) / (time.perf_counter() - t0)
+    ed_p50 = float(np.percentile(ed_ms, 50))
+    ed_p95 = float(np.percentile(ed_ms, 95))
+    assert sc.shape == (10,) and ix.shape == (10,)
+    log(f"edismax (title^2+body, mm/tie/pf/pf2, top-10): "
+        f"{edismax_qps:.2f} qps (p50 {ed_p50:.1f} ms, p95 {ed_p95:.1f} ms)")
+    results["edismax"] = edismax_qps
+
+    qps = max(v for k, v in results.items() if k != "edismax")
     # the reference's phrase scan is linear in corpus size: its 100k-doc
     # qps scales down by n_docs/100k for the bigger tiers
     baseline = BASELINE_QPS_100K * (SCALES["100k"] / n_docs)
@@ -380,7 +447,10 @@ def main():
                     "score_p95": round(score_p95, 2),
                     "topk_p50": round(topk_p50, 2),
                     "topk_p95": round(topk_p95, 2),
+                    "edismax_p50": round(ed_p50, 2),
+                    "edismax_p95": round(ed_p95, 2),
                 },
+                "edismax_qps": round(edismax_qps, 2),
                 "modes_qps": {k: round(v, 1) for k, v in results.items()},
             }
         )

@@ -67,6 +67,13 @@ def bench_all():
     noop = jax.jit(lambda x: x + 1)
     z = jnp.zeros(8, jnp.float32)
     results["noop_dispatch_ms"] = timeit(noop, z, reps=20) * 1e3
+    # async enqueue: host time for fn() to RETURN (no block) — the
+    # per-program cost a pipelined serving loop actually pays
+    noop(z)
+    t0 = time.perf_counter()
+    outs = [noop(z) for _ in range(50)]
+    results["noop_enqueue_ms"] = (time.perf_counter() - t0) / 50 * 1e3
+    _force(outs[-1])
 
     # --- _slot_sum: MXU slot reduction (claim: ~HBM speed; the reshape/
     # reduce_window forms are 16x padded / ~100x off roofline) ----------
@@ -187,12 +194,23 @@ def bench_all():
     return results
 
 
-def check_regressions(results, device, factor=2.0):
-    """Compare against the best recorded run on the same device kind."""
-    if not os.path.exists(HISTORY):
+def check_regressions(results, device, factor=2.0, history=None,
+                      tunnel_factor=3.0):
+    """Compare against the best recorded run on the same device kind.
+
+    A history entry only participates if its tunnel state matches the
+    current run's: entries whose ``noop_dispatch_ms`` differs from the
+    current run by more than ``tunnel_factor`` in either direction were
+    measured through a degraded (or atypically fast) tunnel and would
+    make the gate compare garbage (round-4 VERDICT weak #4: the only TPU
+    baseline on file had a 28 ms noop and 0.2 GB/s slot-sum — comparing
+    a healthy run against it, or vice versa, is meaningless)."""
+    history = HISTORY if history is None else history
+    if not os.path.exists(history):
         return []
+    cur_noop = results.get("noop_dispatch_ms")
     best = {}
-    with open(HISTORY) as f:
+    with open(history) as f:
         for line in f:
             try:
                 rec = json.loads(line)
@@ -200,6 +218,11 @@ def check_regressions(results, device, factor=2.0):
                 continue
             if rec.get("device") != device:
                 continue
+            ref_noop = rec.get("results", {}).get("noop_dispatch_ms")
+            if (cur_noop is not None and ref_noop is not None
+                    and not (cur_noop / tunnel_factor <= ref_noop
+                             <= cur_noop * tunnel_factor)):
+                continue  # different tunnel state: not comparable
             for k, v in rec.get("results", {}).items():
                 if k.endswith("_ms") and (k not in best or v < best[k]):
                     best[k] = v

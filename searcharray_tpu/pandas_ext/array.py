@@ -87,19 +87,34 @@ class Terms:
     def terms(self):
         return self.postings.items()
 
+    @staticmethod
+    def _decode(words):
+        from searcharray_tpu.ops import encoding as enc
+
+        _, p = enc.decode_words(np.asarray(words, dtype=np.uint64))
+        return p.astype(np.uint32)
+
     def positions(self, term=None):
+        """Positions per term.  Rows fetched from an index hold ENCODED
+        posting words (``encoded=True`` — the reference's lazy accessor,
+        postings.py:213-227) and decode here on demand."""
         if self.posns is None:
             return {}
         if term is None:
+            if self.encoded:
+                return {t: self._decode(w)
+                        for t, w in self.posns.items()}.items()
             return self.posns.items()
-        return self.posns[term]
+        w = self.posns[term]
+        return self._decode(w) if self.encoded else w
 
     def raw_positions(self, vocab, term=None):
         if self.posns is None:
             return {}
         if term is None:
-            return [(vocab.get_term_id(t), p) for t, p in self.posns.items()]
-        return [(vocab.get_term_id(term), self.posns[term])]
+            return [(vocab.get_term_id(t), self.positions(t))
+                    for t in self.posns]
+        return [(vocab.get_term_id(term), self.positions(term))]
 
     def tf_to_dense(self, vocab):
         dense = np.zeros(len(vocab))
@@ -377,6 +392,10 @@ class SearchArray(ExtensionArray):
         )
 
     def _row_to_terms(self, corpus_row: int) -> Terms:
+        """One corpus row as a Terms scalar.  Positions stay ENCODED
+        (posting words; Terms decodes lazily on .positions()) — the
+        reference's accessor shape, postings.py:213-227 — and tf is the
+        payload popcount, so fetching a row never decodes anything."""
         b = self._built
         tids = b.doc_term.row_terms(corpus_row)
         tfs = {}
@@ -386,13 +405,11 @@ class SearchArray(ExtensionArray):
             sl = b.postings.term_slice(int(tid))
             keys = enc.keys_of(sl)
             mine = sl[keys == np.uint64(corpus_row)]
-            _, p = enc.decode_words(mine)
-            posns[term] = p.astype(np.uint32)
-            # tf = positions in this doc (reference builds the row's tf the
-            # same way, postings.py:213-227)
-            tfs[term] = max(1, len(p))
+            posns[term] = mine
+            tfs[term] = max(1, int(enc.popcount64(
+                mine & np.uint64(enc.LSB_MASK)).sum()))
         return Terms(tfs, doc_len=int(b.doc_lens[corpus_row]), posns=posns,
-                     encoded=False)
+                     encoded=True)
 
     def __getitem__(self, key):
         key = pd.api.indexers.check_array_indexer(self, key)

@@ -87,15 +87,15 @@ class ShardedIndex:
         self.tf_free: list = []
 
     # ------------------------------------------------------------------
-    @classmethod
-    def build(cls, built: BuiltIndex, mesh=None) -> "ShardedIndex":
-        import jax
-        import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    @staticmethod
+    def partition(built: BuiltIndex, S: int) -> dict:
+        """Host-side doc-range partition of a BuiltIndex into S shards.
 
-        if mesh is None:
-            mesh = default_mesh()
-        S = mesh.shape["docs"]
+        Returns the numpy shard arrays ({hdrs [S, W], pays [S, W],
+        offsets/lengths [S, V], doc_lens [S, shard_docs]} + scalars) that
+        ``build`` uploads — also what ``index/store.py:save_shards``
+        persists so a serving process on a mesh cold-starts at upload
+        speed instead of re-running this O(S*W) re-partition."""
         N = built.corpus_size
         V = len(built.vocab)
         shard_docs = -(-max(N, 1) // S)
@@ -143,16 +143,52 @@ class ShardedIndex:
             hi = min(N, lo + shard_docs)
             if hi > lo:
                 doc_lens_np[s, : hi - lo] = built.doc_lens[lo:hi]
+        return {
+            "hdrs": hdrs_np, "pays": pays_np,
+            "offsets": np.stack(shard_offs), "lengths": np.stack(shard_lens),
+            "doc_lens": doc_lens_np, "shard_starts": starts,
+            "shard_docs": shard_docs, "blk_bits": blk_bits,
+            "num_docs": N,
+        }
+
+    @classmethod
+    def _from_parts(cls, parts: dict, mesh, vocab, avg_doc_length: float,
+                    doc_freqs) -> "ShardedIndex":
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
         shard = lambda spec: NamedSharding(mesh, spec)
-        hdrs = jax.device_put(hdrs_np, shard(P("docs", None)))
-        pays = jax.device_put(pays_np, shard(P("docs", None)))
-        offsets = jax.device_put(np.stack(shard_offs), shard(P("docs", None)))
-        lengths = jax.device_put(np.stack(shard_lens), shard(P("docs", None)))
-        doc_lens = jax.device_put(doc_lens_np, shard(P("docs", None)))
-        return cls(mesh, hdrs, pays, offsets, lengths, doc_lens, starts,
-                   built.vocab, built.avg_doc_length, N, shard_docs, blk_bits,
-                   built.doc_freqs)
+        put = lambda a: jax.device_put(np.asarray(a), shard(P("docs", None)))
+        return cls(mesh, put(parts["hdrs"]), put(parts["pays"]),
+                   put(parts["offsets"]), put(parts["lengths"]),
+                   put(parts["doc_lens"]), np.asarray(parts["shard_starts"]),
+                   vocab, avg_doc_length, int(parts["num_docs"]),
+                   int(parts["shard_docs"]), int(parts["blk_bits"]),
+                   doc_freqs)
+
+    @classmethod
+    def build(cls, built: BuiltIndex, mesh=None) -> "ShardedIndex":
+        if mesh is None:
+            mesh = default_mesh()
+        parts = cls.partition(built, mesh.shape["docs"])
+        return cls._from_parts(parts, mesh, built.vocab,
+                               built.avg_doc_length, built.doc_freqs)
+
+    @classmethod
+    def load(cls, directory: str, mesh=None) -> "ShardedIndex":
+        """Mesh fast attach: memmap the per-shard arrays persisted by
+        ``index/store.py:save_shards`` and upload them straight onto the
+        mesh — no host re-partition (the cold-start analog of the v3
+        single-chip attach).  The saved shard count must match the mesh's
+        ``docs`` axis; vocab/doc_freqs load from the same v3 store."""
+        from searcharray_tpu.index.store import load_index, load_shards
+
+        if mesh is None:
+            mesh = default_mesh()
+        parts = load_shards(directory, mesh.shape["docs"])
+        built = load_index(directory)
+        return cls._from_parts(parts, mesh, built.vocab,
+                               built.avg_doc_length, built.doc_freqs)
 
     # ------------------------------------------------------------------
     def _max_bucket_for(self, term_ids: np.ndarray) -> int:

@@ -274,10 +274,16 @@ def edismax(frame: pd.DataFrame, q: str, qf: List[str],
             ps2: int = 0, ps3: int = 0, ps: int = 0,
             tie: float = 0.0, q_op: str = "OR",
             similarity: Union[Similarity, Dict[str, Similarity]] = default_bm25,
+            top_k: Optional[int] = None,
             ) -> Tuple[np.ndarray, str]:
     """Run an edismax query over a dataframe with SearchArray columns.
 
-    Returns (scores, explain string)."""
+    Returns (scores, explain string).  With ``top_k`` set, returns
+    ``((scores float32[k], row indices int64[k]), explain)`` instead: the
+    k-selection runs on device so only 2k values cross back to the host —
+    the ranked-retrieval serving path (a full dense vector at 8.8M docs is
+    a ~35 MB transfer; the packed top-k is ~80 bytes).  Extension over the
+    reference's API (which always returns the dense vector)."""
 
     def listify(x):
         return x if isinstance(x, list) else [x]
@@ -352,6 +358,19 @@ def edismax(frame: pd.DataFrame, q: str, qf: List[str],
         else:
             qf_scores = qf_scores + jnp.where(qf_scores > 0, extra,
                                               np.float32(0.0))
+
+    if top_k is not None:
+        from searcharray_tpu.pandas_ext.array import _topk_jit
+
+        k = min(top_k, int(qf_scores.shape[0]))
+        if isinstance(qf_scores, np.ndarray):  # host fallback path
+            idx = np.argsort(qf_scores)[::-1][:k]
+            return (qf_scores[idx].astype(np.float32),
+                    idx.astype(np.int64)), explain
+        sc, ix = _topk_jit(int(qf_scores.shape[0]), k)(qf_scores)
+        # the single (tiny) host transfer for the whole query
+        return (np.asarray(sc, dtype=np.float32),
+                np.asarray(ix, dtype=np.int64)), explain
 
     # the single host transfer for the whole query
     return np.asarray(qf_scores, dtype=np.float32), explain

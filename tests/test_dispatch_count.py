@@ -139,3 +139,19 @@ def test_dense_slop_keys_are_anchor_position_invariant(docs):
     assert len(keys) == 1, f"expected one dspan class, got {list(groups)}"
     gkey = next(iter(keys))
     assert gkey[0] == "dspan" and gkey[2] == 0
+
+
+def test_warm_single_query_topk_is_two_dispatches(docs, huge_corpus_mode):
+    """A warm single-query topk() must cost at most 2 programs (round-4
+    VERDICT ask #2): the scoring program itself plus at most one pool
+    touch — the remaining latency is the tunnel's sync round trip, which
+    no dispatch-count work can remove."""
+    for q in ["hot1", "r3", ["hot1", "hot2"], ["r5", "hot1"]]:
+        docs.topk(q, 5)      # warm: fills + promotions + compiles
+        docs.topk(q, 5)      # second pass: phrase-tf promotions settle
+        batch_mod.DISPATCHES[0] = 0
+        sc, ix = docs.topk(q, 5)
+        n = batch_mod.DISPATCHES[0]
+        assert n <= 2, (q, n)
+        want = _expected_topk(docs, [q])[0]
+        np.testing.assert_allclose(sc, want, rtol=1e-6, atol=1e-6)

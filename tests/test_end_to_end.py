@@ -61,6 +61,16 @@ def configs(corpus, tmp_path_factory):
                                     data_dir=str(tmp)),
         "no_warm": SearchArray.index(titles, tokenizer=std_tokenizer,
                                      autowarm=False),
+        # small batches AND memmap combined (reference "smallbatch_memmap",
+        # test_tmdb.py:86-99)
+        "smallbatch_memmap": SearchArray.index(
+            titles, tokenizer=std_tokenizer, batch_size=97,
+            data_dir=str(tmp_path_factory.mktemp("mm2"))),
+        # first/last THREE docs empty (reference "ends_empty" blanks 3 at
+        # each end; make_movies already blanks 1 — this config blanks 3)
+        "ends_empty": SearchArray.index(
+            ["", "", ""] + titles[3:-3] + ["", "", ""],
+            tokenizer=std_tokenizer),
     }
 
 
@@ -72,13 +82,24 @@ def test_configs_agree_and_match_oracle(configs, corpus, term):
     assert np.array_equal(base > 0, oracle)
     for name, arr in configs.items():
         got = arr.score(term)
+        if name == "ends_empty":
+            # its corpus blanks 3 docs at each end: those rows score 0 and
+            # global stats (df, avgdl) shift — matches only exist inside
+            assert np.all(got[:3] == 0) and np.all(got[-3:] == 0)
+            assert np.array_equal(got[3:-3] > 0, oracle[3:-3])
+            continue
         assert np.allclose(got, base), name
 
 
 def test_phrase_configs_agree(configs):
     base = configs["full"].termfreqs(["the", "star"])
     for name, arr in configs.items():
-        assert np.array_equal(arr.termfreqs(["the", "star"]), base), name
+        got = arr.termfreqs(["the", "star"])
+        if name == "ends_empty":
+            assert np.array_equal(got[3:-3], base[3:-3])
+            assert np.all(got[:3] == 0) and np.all(got[-3:] == 0)
+            continue
+        assert np.array_equal(got, base), name
 
 
 def test_edismax_end_to_end(corpus):

@@ -67,3 +67,48 @@ def test_fuzz_mixed_batches(corpus, routing, monkeypatch):
         np.testing.assert_allclose(
             scores, np.sort(got, axis=1)[:, ::-1][:, :5], rtol=1e-5,
             atol=1e-6, err_msg=f"trial {trial} topk")
+
+
+def test_fuzz_sharded_driver(corpus):
+    """Same seeded mixed batches through the sharded (virtual 8-device
+    mesh) driver: must equal the single-chip facade bit-for-bit-ish."""
+    from searcharray_tpu.parallel.sharded import default_mesh
+
+    single = SearchArray.index(corpus)
+    meshed = SearchArray.index(corpus, mesh=default_mesh())
+    rng = np.random.default_rng(99)
+    for trial in range(2):
+        queries, slops = random_queries(rng, 12)
+        got = np.asarray(meshed.score_batch(queries, slop=slops))
+        for i, (q, s) in enumerate(zip(queries, slops)):
+            np.testing.assert_allclose(
+                got[i], np.asarray(single.score(q, slop=s)), rtol=1e-5,
+                atol=1e-6, err_msg=f"trial {trial} q={q} slop={s}")
+        scores, idx = meshed.score_batch(queries, slop=slops, top_k=5)
+        np.testing.assert_allclose(
+            np.asarray(scores), np.sort(got, axis=1)[:, ::-1][:, :5],
+            rtol=1e-5, atol=1e-6, err_msg=f"trial {trial} topk")
+
+
+def test_fuzz_posn_windows(corpus):
+    """Windowed term scoring vs a host oracle built from positions():
+    tf(doc) = count of positions inside [min_posn, max_posn]."""
+    from searcharray_tpu.search.similarity import bm25_similarity
+
+    docs = SearchArray.index(corpus)
+    rng = np.random.default_rng(5)
+    for _ in range(6):
+        tok = f"t{int(rng.integers(0, 60))}"
+        lo = int(rng.integers(0, 3)) * 18
+        hi = lo + int(rng.integers(1, 4)) * 18 - 1
+        got = np.asarray(docs.score(tok, min_posn=lo, max_posn=hi))
+        posns = docs.positions(tok)
+        tfs = np.asarray(
+            [np.sum((p >= lo) & (p <= hi)) for p in posns], np.float32)
+        sim = bm25_similarity()
+        want = sim(tfs, np.asarray([docs.docfreq(tok)]),
+                   docs.doclengths(), docs.avg_doc_length,
+                   docs.corpus_size)
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5,
+                                   atol=1e-6,
+                                   err_msg=f"{tok} [{lo},{hi}]")

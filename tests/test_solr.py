@@ -247,3 +247,16 @@ def test_phase_candidate_rows_parity(monkeypatch):
     # and with slop phases (ps2 keeps that phase full-corpus internally)
     sub2, _ = edismax(fr, ps2=1, **kwargs)
     np.testing.assert_allclose(sub2, full2, rtol=1e-6, atol=1e-6)
+
+
+def test_edismax_top_k_matches_dense(frame):
+    """top_k= returns the device-ranked head of the dense result."""
+    dense, exp1 = edismax(frame, q="foo bar", qf=["title^2", "body"],
+                          mm=1, tie=0.1, pf2=["body"])
+    (sc, ix), exp2 = edismax(frame, q="foo bar", qf=["title^2", "body"],
+                             mm=1, tie=0.1, pf2=["body"], top_k=3)
+    assert exp1 == exp2
+    order = np.argsort(dense)[::-1][:3]
+    np.testing.assert_allclose(sc, dense[order], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(dense[ix], dense[order], rtol=1e-6,
+                               atol=1e-6)
