@@ -93,6 +93,53 @@ def bench_all():
     f3 = jax.jit(lambda a: jax.lax.top_k(a, 10))
     results["lax_topk_8.8M_ms"] = timeit(f3, row) * 1e3
 
+    # --- scan-amortized kernel truths (dispatch-timed loops through the
+    # tunnel measure the ~30 ms sync round trip, not the kernel) --------
+    def scanned(body, R):
+        @jax.jit
+        def f(*args):
+            def step(acc, i):
+                return acc + body(i, *args), None
+            acc, _ = jax.lax.scan(step, jnp.float32(0),
+                                  jnp.arange(R, dtype=jnp.int32))
+            return acc
+        return f
+
+    def scan_ms(body, *args, R=8):
+        f = scanned(body, R)
+        _force(f(*args))  # compile
+        t0 = time.perf_counter()
+        _force(f(*args))
+        return (time.perf_counter() - t0) / R * 1e3
+
+    # topk_exact over a 16-query dense stack (the per-batch serving
+    # shape; block-max scheme measured 0.34 ms/row vs 3.6 for
+    # per-block-sort on v5e)
+    stack = jnp.asarray(rng.random((16, M), dtype=np.float32))
+
+    def tk16(i, s):
+        v, ix = topk_exact(s + i.astype(jnp.float32), 10)
+        return v.sum() + ix.sum().astype(jnp.float32)
+
+    results["topk16x8.8M_scan_ms"] = scan_ms(tk16, stack, R=4)
+
+    # candidate mini-plane gather (the production flat ascending take) at
+    # the largest Kc the router still sends to the candidate engine for
+    # pool-pattern queries (candidates.CAND_POOL_MAX_KC)
+    S8 = 8
+    plane = jnp.asarray(rng.integers(0, 2**32, M * S8, dtype=np.uint32))
+    Kc = 1 << 16
+    rows_i = jnp.asarray(
+        np.sort(rng.choice(M, Kc, replace=False)).astype(np.int32))
+    fi = (rows_i[:, None] * S8
+          + jnp.arange(S8, dtype=jnp.int32)[None, :]).reshape(-1)
+
+    def g_flat(i, p, f_):
+        return jnp.take(p, f_ + i, mode="clip").astype(
+            jnp.uint32).sum().astype(jnp.float32)
+
+    results["mini_gather_64k_ms"] = scan_ms(g_flat, plane, fi)
+
     # --- Pallas segment-sum vs XLA scatter-add (sorted doc keys) -------
     W, ND = 2_000_000, 100_000
     keys_np = np.sort(rng.integers(0, ND, W)).astype(np.int32)

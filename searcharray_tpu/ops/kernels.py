@@ -98,31 +98,54 @@ def blk_bits_for(max_doc_len: int) -> int:
     return bits
 
 
-def topk_exact(x, k: int, block: int = 1024):
-    """Exact top-k over the last axis, two-stage.
+def topk_exact(x, k: int, block: int = 8192):
+    """Exact top-k over the last axis via block-max selection.
 
     ``lax.top_k`` over a multi-million-element row is a single sequential
-    sort (~24 ms at 8.8M on v5e); taking per-block top-k first ([G, block]
-    rows sort in parallel) then reducing the [G*k] survivors is exact —
-    every global winner is in its block's top-k — and preserves
-    smallest-index tie-breaking, since flat candidate order equals index
-    order.  Falls back to one-stage when the row is small."""
+    sort (~24 ms at 8.8M on v5e), and per-block ``lax.top_k`` (a full sort
+    of every block) still costs ~3.6 ms per 8.8M row.  One streaming MAX
+    per block is ~12x cheaper: every true top-k element lives in a block
+    whose max ranks among the top-k block maxes (a block with max above
+    the k-th score holds an above-k element, so at most k-1 such blocks
+    exist; ``lax.top_k`` over the maxes breaks ties toward earlier blocks,
+    which covers the earliest occurrences of the k-th value).  Gathering
+    those k blocks (k*block elements) and one small ``lax.top_k`` finishes
+    exactly; sorting the selected block ids ascending first keeps the
+    candidate order equal to global index order, preserving
+    smallest-index tie-breaking.  Falls back to one-stage on small rows.
+
+    block=8192 measured best on v5e at 8.8M docs: 0.34 ms/row vs 3.6 ms
+    for per-block-sort and 24 ms for one-stage (scripts/profile_ops_88m.py
+    + the block sweep in the round-5 log)."""
     n = x.shape[-1]
-    if n <= 4 * block or k >= block:
-        return jax.lax.top_k(x, k)
     pad = -n % block
+    g = (n + pad) // block
+    if n <= 4 * block or k >= block or g < k:
+        return jax.lax.top_k(x, k)
     if pad:
         fill = jnp.full(x.shape[:-1] + (pad,), -jnp.inf, x.dtype)
         x = jnp.concatenate([x, fill], axis=-1)
-    g = (n + pad) // block
     blocks = x.reshape(x.shape[:-1] + (g, block))
-    v1, i1 = jax.lax.top_k(blocks, k)                       # [..., g, k]
-    base = (jnp.arange(g, dtype=jnp.int32) * block)[:, None]
-    flat_v = v1.reshape(v1.shape[:-2] + (g * k,))
-    flat_i = (i1.astype(jnp.int32) + base).reshape(flat_v.shape)
-    v2, sel = jax.lax.top_k(flat_v, k)
-    idx = jnp.take_along_axis(flat_i, sel, axis=-1)
-    return v2, idx
+    bmax = blocks.max(axis=-1)                              # [..., g]
+    _, bsel = jax.lax.top_k(bmax, k)                        # [..., k]
+    bsel = jnp.sort(bsel.astype(jnp.int32), axis=-1)        # index order
+    cand = jnp.take_along_axis(blocks, bsel[..., None], axis=-2)
+    flat_v = cand.reshape(cand.shape[:-2] + (k * block,))
+    v, ci = jax.lax.top_k(flat_v, k)
+    ci = ci.astype(jnp.int32)
+    blk_of = jnp.take_along_axis(bsel, ci // block, axis=-1)
+    idx = blk_of * jnp.int32(block) + ci % jnp.int32(block)
+    return v, idx
+
+
+# NOTE on candidate mini-plane gathers (measured on v5e at 8.8M docs,
+# scripts/profile_ops_88m.py + round-5 probes): the flat ascending take
+# of Kc*S indices costs ~24 ns/element (204 ms at Kc=1M).  Both "faster"
+# alternatives fail in production: reshape(N, S) inside a program
+# materializes a 16x lane-padded copy (4.5 GB -> OOM beside the pools),
+# and lax.gather with slice_sizes=(S,) is 10x SLOWER than the flat take.
+# The framework therefore routes pool-pattern queries with large Kc to
+# the dense engine instead (search/candidates.py:CAND_POOL_MAX_KC).
 
 
 def take_term_planes(hdrs, pays, off, n, min_blk=None, max_blk=None,

@@ -1062,22 +1062,45 @@ def score_batch_fused(dev: DeviceIndex,
         pending.append(([qi], d))
 
     if as_device:
+        import jax
+
         assert top_k is None, "as_device and top_k are exclusive"
-        out = jnp.zeros((Q, n_out), jnp.float32)
-        if pending:
-            stacked = (pending[0][1] if len(pending) == 1 else
-                       jnp.concatenate([o for _, o in pending]))
-            all_qis = [qi for qis, _ in pending for qi in qis]
-            keep = [r for r, qi in enumerate(all_qis) if qi is not None]
-            qidx = jnp.asarray(
-                np.asarray([all_qis[r] for r in keep], dtype=np.int32))
-            if len(keep) != len(all_qis):  # drop group-padding rows
-                stacked = stacked[jnp.asarray(np.asarray(keep, np.int32))]
-            out = out.at[qidx].set(stacked)
-        if dedup:  # fan duplicate queries back out
-            out = jnp.take(out, jnp.asarray(np.asarray(expand, np.int32)),
-                           axis=0)
-        return out
+        if not pending:
+            out = jnp.zeros((Q, n_out), jnp.float32)
+            if dedup:
+                out = jnp.take(out, jnp.asarray(np.asarray(expand, np.int32)),
+                               axis=0)
+            return out
+        all_qis = [qi for qis, _ in pending for qi in qis]
+        keep = [r for r, qi in enumerate(all_qis) if qi is not None]
+        qidx = jnp.asarray(
+            np.asarray([all_qis[r] for r in keep], dtype=np.int32))
+        keep_idx = (jnp.asarray(np.asarray(keep, np.int32))
+                    if len(keep) != len(all_qis) else None)
+        expand_idx = (jnp.asarray(np.asarray(expand, np.int32))
+                      if dedup else None)
+        # ONE jitted program for the reassembly: eager concat + scatter +
+        # take are serialized full-width copies (~3 extra [Q, N] streams
+        # per call at 8.8M) plus per-op host dispatch overhead
+        shapes = tuple(tuple(o.shape) for _, o in pending)
+        rkey = ("reasm", Q, n_out, shapes, keep_idx is not None,
+                dedup)
+        rfn = _group_cache.get(rkey)
+        if rfn is None:
+            def rf(outs, keep_, qidx_, expand_):
+                st = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+                if keep_ is not None:
+                    st = st[keep_]
+                o = jnp.zeros((Q, n_out), jnp.float32).at[qidx_].set(st)
+                if expand_ is not None:
+                    o = jnp.take(o, expand_, axis=0)
+                return o
+
+            rfn = jax.jit(rf)
+            _group_cache[rkey] = rfn
+        DISPATCHES[0] += 1
+        return rfn(tuple(o for _, o in pending), keep_idx, qidx,
+                   expand_idx)
 
     if top_k is not None and rows is None:
         k = top_k

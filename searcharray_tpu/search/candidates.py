@@ -57,6 +57,13 @@ CAND_MIN_DOCS = 1 << 19
 CAND_TERM_MIN_DOCS = 1 << 16
 CAND_MAX_FRAC = 8
 MINI_MAX_WORDS = 1 << 18  # mini-source ceiling (bucketed words)
+# Pool-source mini gathers cost ~24 ns per gathered element on v5e
+# (Kc=1M x 8 slots ~ 204 ms; scripts/profile_ops_88m.py) while a dense
+# pool fill is a ~25 ms flat scatter + streaming dilation, so a
+# mid-frequency anchor with stopword co-terms is far cheaper on the
+# dense engine: queries whose srcs include "pool" stay candidates only
+# up to this Kc (break-even ~160k; the pow-4 ladder puts the cut here).
+CAND_POOL_MAX_KC = 1 << 16
 
 # Mini-plane alignment strategy.  ``searchsorted`` into the [Kc] row
 # table costs log2(Kc) dependent-gather rounds per posting word — the
@@ -180,6 +187,11 @@ def eligible_phrase(dev: DeviceIndex, tids: Sequence[int],
                    for t in set(tids))
     pool_terms = {t for t in tids
                   if term_source(dev, dev.term_span(t)[1]) == "pool"}
+    if pool_terms and kc > CAND_POOL_MAX_KC:
+        # mid-frequency anchor + stopword co-terms: the Kc x S pool
+        # gathers dominate (~24 ns/element); the dense engine's pool
+        # fill + full-plane streaming chain is ~5-10x cheaper there
+        return False
     return len(pool_terms) <= dense.plane_capacity(dev) - 1
 
 
@@ -259,8 +271,6 @@ def minis_for_rows(dev_static, T: int, srcs, Kc: int, rows, hdrs, pays,
     S = 1 << blk_bits
 
     rows_clip = jnp.clip(rows, 0, N - 1)
-    flat = (rows_clip[:, None] * jnp.int32(S)
-            + jnp.arange(S, dtype=jnp.int32)[None, :]).reshape(-1)
 
     imap = None
     if use_imap(N, srcs):
@@ -275,6 +285,15 @@ def minis_for_rows(dev_static, T: int, srcs, Kc: int, rows, hdrs, pays,
     jp = jm = 0
     for i in range(T):
         if srcs[i] == "pool":
+            # flat ascending-index take.  Slot-row alternatives measured
+            # WORSE on v5e at 8.8M: an in-program reshape(N, S) pads the
+            # minor dim 16x (4.5 GB temp -> OOM), lax.gather with
+            # slice_sizes=(S,) is 10x slower than this.  Large-Kc pool
+            # gathers are expensive either way (~200 ms at Kc=1M), so
+            # routing keeps pool-pattern queries out of the candidate
+            # engine above CAND_POOL_MAX_KC (see eligible_phrase).
+            flat = (rows_clip[:, None] * jnp.int32(S)
+                    + jnp.arange(S, dtype=jnp.int32)[None, :]).reshape(-1)
             minis.append(jnp.take(pool[slots[jp]], flat, mode="clip"))
             jp += 1
         else:

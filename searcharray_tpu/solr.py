@@ -104,11 +104,64 @@ def _boost_exp(boost) -> str:
     return f"{boost}" if boost is not None else "1"
 
 
+_compose_cache: dict = {}
+
+
+def _compose_tc_jit(F: int, tie: float, msm: int):
+    """Jitted term-centric dismax: (F x [T, N] stacks, boosts[F]) -> [N].
+
+    One program instead of ~10 eager dispatches — eager composition cost
+    ~15 ms host + per-op tunnel enqueues per query (measured in the
+    round-5 edismax profile)."""
+    key = ("tc", F, tie, msm)
+    fn = _compose_cache.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        def f(stacks, boosts):
+            fs = jnp.stack(stacks) * boosts[:, None, None]
+            mx = fs.max(axis=0)
+            sm = fs.sum(axis=0)
+            ts = mx + (sm - mx) * np.float32(tie)  # [T, N]
+            matches = (ts > 0).sum(axis=0) >= msm
+            return jnp.where(matches, ts.sum(axis=0), np.float32(0.0))
+
+        fn = jax.jit(f)
+        _compose_cache[key] = fn
+    return fn
+
+
+def _compose_fc_jit(F: int, tie: float, msms: tuple):
+    """Jitted field-centric dismax: per-field mm over its own term count
+    (msms[i]), then dismax/tie across fields."""
+    key = ("fc", F, tie, msms)
+    fn = _compose_cache.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        def f(stacks, boosts):
+            sums = []
+            for i, ts in enumerate(stacks):
+                matches = (ts > 0).sum(axis=0) >= msms[i]
+                sums.append(jnp.where(matches, ts.sum(axis=0),
+                                      np.float32(0.0)) * boosts[i])
+            stack = jnp.stack(sums)
+            sm = stack.sum(axis=0)
+            mx = stack.max(axis=0)
+            return mx + (sm - mx) * np.float32(tie)
+
+        fn = jax.jit(f)
+        _compose_cache[key] = fn
+    return fn
+
+
 def _edismax_term_centric(frame, query_fields, num_search_terms, search_terms,
                           mm, tie, similarity) -> Tuple[np.ndarray, str]:
     """Device-side term-centric composition: one batched program per field
-    scores all query terms at once (search/batch.py), then dismax/tie/mm
-    compose as elementwise device ops — no host transfer here at all."""
+    scores all query terms at once (search/batch.py), then ONE jitted
+    dismax/tie/mm program composes them — no host transfer here at all."""
     import jax.numpy as jnp
 
     stacks, boosts = [], []
@@ -117,15 +170,9 @@ def _edismax_term_centric(frame, query_fields, num_search_terms, search_terms,
         stacks.append(arr.score_batch_device(search_terms[field],
                                              similarity=similarity[field]))
         boosts.append(_boost_val(boost))
-    fs = jnp.stack(stacks) * jnp.asarray(boosts, jnp.float32)[:, None, None]
-    mx = fs.max(axis=0)
-    sm = fs.sum(axis=0)
-    term_scores = mx + (sm - mx) * np.float32(tie)  # [T, N]
-
     min_should_match = parse_min_should_match(num_search_terms, spec=mm)
-    matches_gt_mm = (term_scores > 0).sum(axis=0) >= min_should_match
-    qf_scores = jnp.where(matches_gt_mm, term_scores.sum(axis=0),
-                          np.float32(0.0))
+    qf_scores = _compose_tc_jit(len(stacks), float(tie), min_should_match)(
+        tuple(stacks), jnp.asarray(boosts, jnp.float32))
 
     explain = []
     for term_posn in range(num_search_terms):
@@ -142,28 +189,21 @@ def _edismax_field_centric(frame, query_fields, num_search_terms, search_terms,
     """Device-side field-centric composition (see _edismax_term_centric)."""
     import jax.numpy as jnp
 
-    field_scores = []
+    stacks, boosts, msms = [], [], []
     explain = []
     for field, boost in query_fields.items():
         post_arr = get_field(frame, field)
-        term_scores = post_arr.score_batch_device(
-            search_terms[field], similarity=similarity[field])
+        stacks.append(post_arr.score_batch_device(
+            search_terms[field], similarity=similarity[field]))
         min_should_match = parse_min_should_match(len(search_terms[field]), spec=mm)
         exp = " ".join([f"{field}:{term}" for term in search_terms[field]])
         exp = "(" + exp + f")~{min(min_should_match, len(search_terms[field]))}"
         exp = "(" + exp + f")^{_boost_exp(boost)}"
-        matches_gt_mm = (
-            (term_scores > 0).sum(axis=0)
-            >= min(min_should_match, len(search_terms[field]))
-        )
-        summed = jnp.where(matches_gt_mm, term_scores.sum(axis=0),
-                           np.float32(0.0))
-        field_scores.append(summed * np.float32(_boost_val(boost)))
+        msms.append(min(min_should_match, len(search_terms[field])))
+        boosts.append(_boost_val(boost))
         explain.append(exp)
-    stack = jnp.stack(field_scores)
-    summed_scores = stack.sum(axis=0)
-    mx = stack.max(axis=0)
-    qf_scores = mx + (summed_scores - mx) * np.float32(tie)
+    qf_scores = _compose_fc_jit(len(stacks), float(tie), tuple(msms))(
+        tuple(stacks), jnp.asarray(boosts, jnp.float32))
     return qf_scores, " | ".join(explain)
 
 
@@ -266,6 +306,43 @@ def _ngram_phases(frame, search_terms, phases, similarity,
             for pi in range(n_ph)]
 
 
+_finish_cache: dict = {}
+
+
+def _finish_jit(n: int, k: Optional[int], n_mask: int, n_rows: int,
+                cp: Optional[int]):
+    """Jitted edismax finisher: fold the phase boosts into the main
+    scores and (with k) pack the device top-k into one int32[2k] wire
+    (score bits ‖ doc indices) — ONE program + ONE transfer for the
+    whole tail.  The qf>0 mask is computed once from the input: phase
+    boosts are non-negative and only ever add at already-positive rows,
+    so positivity is invariant across folds."""
+    key = (n, k, n_mask, n_rows, cp)
+    fn = _finish_cache.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        from searcharray_tpu.ops.kernels import topk_exact
+
+        def f(qf, mask_extras, rows, rows_extras):
+            pos = qf > 0
+            for e in mask_extras:
+                qf = qf + jnp.where(pos, e, np.float32(0.0))
+            for e in rows_extras:
+                qf = qf.at[rows].add(e)
+            if k is None:
+                return qf
+            v, i = topk_exact(qf, k)
+            return jnp.concatenate(
+                [jax.lax.bitcast_convert_type(v, jnp.int32),
+                 i.astype(jnp.int32)])
+
+        fn = jax.jit(f)
+        _finish_cache[key] = fn
+    return fn
+
+
 def edismax(frame: pd.DataFrame, q: str, qf: List[str],
             mm: Optional[Union[str, int]] = None,
             pf: Optional[List[str]] = None,
@@ -343,7 +420,7 @@ def edismax(frame: pd.DataFrame, q: str, qf: List[str],
     (trigram_scores, pf3_explain, pf3_rows) = phase_results[2]
     explain += pf_explain + pf2_explain + pf3_explain
 
-    rows_dev = None
+    mask_extras, rows_extras, rows_dev = [], [], None
     for extra, extra_rows in ((phrase_scores, pf_rows),
                               (bigram_scores, pf2_rows),
                               (trigram_scores, pf3_rows)):
@@ -354,23 +431,35 @@ def edismax(frame: pd.DataFrame, q: str, qf: List[str],
             # so a scatter-add is the masked add
             if rows_dev is None:
                 rows_dev = jnp.asarray(extra_rows.astype(np.int32))
-            qf_scores = qf_scores.at[rows_dev].add(extra)
+            rows_extras.append(extra)
         else:
-            qf_scores = qf_scores + jnp.where(qf_scores > 0, extra,
-                                              np.float32(0.0))
+            mask_extras.append(extra)
 
-    if top_k is not None:
-        from searcharray_tpu.pandas_ext.array import _topk_jit
-
-        k = min(top_k, int(qf_scores.shape[0]))
-        if isinstance(qf_scores, np.ndarray):  # host fallback path
+    if isinstance(qf_scores, np.ndarray):  # host fallback path
+        pos = qf_scores > 0
+        for e in mask_extras:
+            qf_scores = qf_scores + np.where(pos, np.asarray(e),
+                                             np.float32(0.0))
+        for e in rows_extras:
+            np.add.at(qf_scores, np.asarray(rows_dev), np.asarray(e))
+        if top_k is not None:
+            k = min(top_k, int(qf_scores.shape[0]))
             idx = np.argsort(qf_scores)[::-1][:k]
             return (qf_scores[idx].astype(np.float32),
                     idx.astype(np.int64)), explain
-        sc, ix = _topk_jit(int(qf_scores.shape[0]), k)(qf_scores)
-        # the single (tiny) host transfer for the whole query
-        return (np.asarray(sc, dtype=np.float32),
-                np.asarray(ix, dtype=np.int64)), explain
+        return qf_scores.astype(np.float32), explain
 
-    # the single host transfer for the whole query
-    return np.asarray(qf_scores, dtype=np.float32), explain
+    n = int(qf_scores.shape[0])
+    k = None if top_k is None else min(top_k, n)
+    cp = None if rows_dev is None else int(rows_dev.shape[0])
+    out = _finish_jit(n, k, len(mask_extras), len(rows_extras), cp)(
+        qf_scores, tuple(mask_extras), rows_dev, tuple(rows_extras))
+    if top_k is None:
+        # the single host transfer for the whole query
+        return np.asarray(out, dtype=np.float32), explain
+    # ONE host transfer: scores bitcast beside indices in a single
+    # int32[2k] wire (two separate np.asarray calls cost two ~30 ms
+    # tunnel round trips — measured 116 ms of a 150 ms warm edismax)
+    wire = np.asarray(out)
+    return (wire[:k].view(np.float32).copy(),
+            wire[k:].astype(np.int64)), explain

@@ -202,7 +202,11 @@ def test_topk_exact_two_stage():
 
     rng = np.random.default_rng(3)
     for n, k, block in [(100, 5, 16), (1000, 5, 16), (1003, 7, 16),
-                        (5000, 3, 64), (4096, 10, 64)]:
+                        (5000, 3, 64), (4096, 10, 64),
+                        # fewer blocks than k: must fall back one-stage
+                        (70000, 10, 8192),
+                        # block-max path at the production block size
+                        (120000, 10, 8192)]:
         # heavy ties: values drawn from a tiny set
         x = rng.choice(np.float32([0.0, 1.0, 2.0, 3.0]), size=(3, n))
         v_ref, i_ref = jax.lax.top_k(x, k)
