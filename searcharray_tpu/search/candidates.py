@@ -285,16 +285,19 @@ def minis_for_rows(dev_static, T: int, srcs, Kc: int, rows, hdrs, pays,
     jp = jm = 0
     for i in range(T):
         if srcs[i] == "pool":
-            # flat ascending-index take.  Slot-row alternatives measured
-            # WORSE on v5e at 8.8M: an in-program reshape(N, S) pads the
-            # minor dim 16x (4.5 GB temp -> OOM), lax.gather with
-            # slice_sizes=(S,) is 10x slower than this.  Large-Kc pool
-            # gathers are expensive either way (~200 ms at Kc=1M), so
-            # routing keeps pool-pattern queries out of the candidate
-            # engine above CAND_POOL_MAX_KC (see eligible_phrase).
+            # ONE scalar gather from the 2D pool: indexing pool[slot]
+            # first is a dynamic-slice that vmap turns into a [Qp, NS]
+            # gather — Qp x 283 MB of pure copy at 8.8M docs (~40 ms per
+            # pool term; measured round 5) before the tiny Kc*S mini
+            # gather.  pool.reshape(-1) is no better: the 2D tiled
+            # layout makes the flatten a full pool relayout (~2.8 GB).
+            # Advanced indexing [slot, flat] gathers the Kc*S elements
+            # without materializing either.  Large-Kc pool gathers still
+            # pay ~24 ns/element, so routing keeps pool-pattern queries
+            # out of the candidate engine above CAND_POOL_MAX_KC.
             flat = (rows_clip[:, None] * jnp.int32(S)
                     + jnp.arange(S, dtype=jnp.int32)[None, :]).reshape(-1)
-            minis.append(jnp.take(pool[slots[jp]], flat, mode="clip"))
+            minis.append(pool[slots[jp], flat])
             jp += 1
         else:
             bkt = srcs[i]
