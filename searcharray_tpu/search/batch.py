@@ -851,8 +851,31 @@ def score_batch_fused(dev: DeviceIndex,
             T = 1 if gkey[0] == "term" else gkey[1]
             max_chunk = max(1, min(_MAX_FLAT // Npad,
                                    _SPARSE_CHUNK_WORDS // max(1, T * bucket)))
-        for c0 in range(0, len(grows), max_chunk):
-            chunk = grows[c0: c0 + max_chunk]
+        if gkey[0] == "dterm":
+            # a dterm row whose tf entry is a NOT-yet-materialized phrase
+            # signature pulls its recipe terms' planes into the chunk's
+            # fill wave; a chunk of many fresh sigs can need more planes
+            # than the pool holds (the wave partition below cannot split
+            # a single spec) — cut chunks so each one's distinct recipe
+            # planes fit beside one free slot
+            chunks, cur_rows, cur_planes = [], [], set()
+            for row in grows:
+                key_ = row[4][0]
+                p_t = (set(dev.phrase_recipes[key_][0])
+                       if isinstance(key_, tuple)
+                       and key_ not in dev.tf_slot else set())
+                if cur_rows and (len(cur_rows) >= max_chunk
+                                 or len(cur_planes | p_t) > cap_p - 1):
+                    chunks.append(cur_rows)
+                    cur_rows, cur_planes = [], set()
+                cur_rows.append(row)
+                cur_planes |= p_t
+            if cur_rows:
+                chunks.append(cur_rows)
+        else:
+            chunks = [grows[c0: c0 + max_chunk]
+                      for c0 in range(0, len(grows), max_chunk)]
+        for chunk in chunks:
             Qg = len(chunk)
             # candidate groups pad to a small per-class width ladder:
             # bounded compiles per class AND tight small-group dispatches

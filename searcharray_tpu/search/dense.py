@@ -714,8 +714,26 @@ def phrase_group_body(dev: DeviceIndex, T: int, plan_key: tuple,
     S = plane_slots(dev)
     plan = [(d, list(idxs)) for d, idxs in plan_key]
     if rows is None:
-        planes = [jnp.take(pool, slots[:, i], axis=0) for i in range(T)]
-        n_docs, dl = N, doc_lens
+        # lax.map per query: a broadcast [Qg, T, NS] gather duplicates
+        # full planes per query (Qg x T x 283 MB of pure copy at 8.8M
+        # docs) while the chain itself streams at near-HBM rate; per-
+        # iteration dynamic-slices read the pool in place
+        import jax
+
+        from searcharray_tpu.search.scoring import apply_similarity_device as _sim
+
+        def one(args):
+            slots_q, idf_q = args
+            planes = [pool[slots_q[i]] for i in range(T)]
+            freqs = phrase_counts_dense_planes(planes, list(pattern), plan,
+                                               N, S)
+            out = _sim(kind, freqs[None, :], doc_lens[None, :],
+                       jnp.full((1, 1), idf_q, jnp.float32), avgdl, k1, b)
+            if top_k is None:
+                return out[0]
+            return pack_topk(out, top_k)[0]
+
+        return jax.lax.map(one, (slots, idfs))
     else:
         Cp = rows.shape[0]
         flat_idx = (rows[:, None] * jnp.int32(S)
@@ -747,8 +765,24 @@ def span_group_body(dev: DeviceIndex, T: int, anchor_i: int, w: int,
     N = dev.corpus_size
     S = plane_slots(dev)
     if rows is None:
-        planes = [jnp.take(pool, slots[:, i], axis=0) for i in range(T)]
-        n_docs, dl = N, doc_lens
+        # lax.map per query — see phrase_group_body: no [Qg, T, NS]
+        # plane duplication, the window kernel streams pool slices
+        import jax
+
+        from searcharray_tpu.search.scoring import apply_similarity_device as _sim
+
+        def one(args):
+            slots_q, idf_q = args
+            planes = [pool[slots_q[i]] for i in range(T)]
+            freqs = span_counts_dense_planes(planes, anchor_i, w, N, S,
+                                             mults=mults)
+            out = _sim(kind, freqs[None, :], doc_lens[None, :],
+                       jnp.full((1, 1), idf_q, jnp.float32), avgdl, k1, b)
+            if top_k is None:
+                return out[0]
+            return pack_topk(out, top_k)[0]
+
+        return jax.lax.map(one, (slots, idfs))
     else:
         Cp = rows.shape[0]
         flat_idx = (rows[:, None] * jnp.int32(S)
