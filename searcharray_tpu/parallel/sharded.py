@@ -970,19 +970,19 @@ def _shard_fill_fn(idx: ShardedIndex, bucket: int, C: int):
         pool0, hdr0, pay0 = pool_s[0], hdr_s[0], pay_s[0]
         offs0, ns0 = offs_s[0], ns_s[0]
 
+        # dynamic 0..k_real trip count, not a fixed loop with a cond-skip:
+        # a cond threading the pool makes XLA copy the whole buffer per
+        # iteration on TPU (see search/dense.py _fill_fn)
         def body(i, pl):
-            def do(pl):
-                h, p = K.take_term_planes(hdr0, pay0, offs0[i], ns0[i],
-                                          bucket=bucket, blk_bits=blk_bits)
-                row = jnp.zeros(NS_shard, jnp.uint32).at[h].set(
-                    p, mode="drop", unique_indices=True,
-                    indices_are_sorted=True)
-                return jax.lax.dynamic_update_slice(pl, row[None, :],
-                                                    (slots[i], 0))
+            h, p = K.take_term_planes(hdr0, pay0, offs0[i], ns0[i],
+                                      bucket=bucket, blk_bits=blk_bits)
+            row = jnp.zeros(NS_shard, jnp.uint32).at[h].set(
+                p, mode="drop", unique_indices=True,
+                indices_are_sorted=True)
+            return jax.lax.dynamic_update_slice(pl, row[None, :],
+                                                (slots[i], 0))
 
-            return jax.lax.cond(i < k_real, do, lambda x: x, pl)
-
-        return jax.lax.fori_loop(0, _SHARD_FILL_K, body, pool0)[None]
+        return jax.lax.fori_loop(0, k_real, body, pool0)[None]
 
     mapped = jax.shard_map(
         local,
@@ -1085,20 +1085,18 @@ def _shard_tf_fill_fn(idx: ShardedIndex, bucket: int, Ct: int):
         pool0, hdr0, pay0 = pool_s[0], hdr_s[0], pay_s[0]
         offs0, ns0 = offs_s[0], ns_s[0]
 
+        # dynamic trip count — see _shard_fill_fn
         def body(i, pl):
-            def do(pl):
-                h, p = K.take_term_planes(hdr0, pay0, offs0[i], ns0[i],
-                                          bucket=bucket, blk_bits=blk_bits)
-                keys = (h >> jnp.int32(blk_bits)).astype(jnp.int32)
-                pops = jax.lax.population_count(p).astype(jnp.float32)
-                row = jnp.zeros(N_shard, jnp.float32).at[keys].add(
-                    pops, mode="drop")
-                return jax.lax.dynamic_update_slice(pl, row[None, :],
-                                                    (slots[i], 0))
+            h, p = K.take_term_planes(hdr0, pay0, offs0[i], ns0[i],
+                                      bucket=bucket, blk_bits=blk_bits)
+            keys = (h >> jnp.int32(blk_bits)).astype(jnp.int32)
+            pops = jax.lax.population_count(p).astype(jnp.float32)
+            row = jnp.zeros(N_shard, jnp.float32).at[keys].add(
+                pops, mode="drop")
+            return jax.lax.dynamic_update_slice(pl, row[None, :],
+                                                (slots[i], 0))
 
-            return jax.lax.cond(i < k_real, do, lambda x: x, pl)
-
-        return jax.lax.fori_loop(0, _SHARD_TF_FILL_K, body, pool0)[None]
+        return jax.lax.fori_loop(0, k_real, body, pool0)[None]
 
     mapped = jax.shard_map(
         local,

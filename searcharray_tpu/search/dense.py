@@ -165,8 +165,8 @@ def _fill_fn(dev: DeviceIndex, skey: tuple, cap_p: int, cap_t: int):
     dispatch as separate per-fkey programs AFTER the term waves, so their
     plane reads see the freshly filled pool through the threaded
     ``dev.plane_pool`` value (the data dependency holds across dispatches,
-    not inside one program).  Padding rows carry slot == capacity and are
-    dropped by the scatter."""
+    not inside one program).  Each section loops a dynamic 0..k_real trip
+    count, so empty sections cost nothing."""
     import jax
 
     key = ("fill", dev.corpus_size, dev.blk_bits, skey, cap_p, cap_t)
@@ -186,6 +186,14 @@ def _fill_fn(dev: DeviceIndex, skey: tuple, cap_p: int, cap_t: int):
         def f(pool, tfpool, hdrs, pays, parts):
             import jax.numpy as jnp
 
+            # Dynamic trip counts (0..k_real), NOT a fixed-width loop with
+            # a cond-skip per row: lax.cond threading a multi-GB pool
+            # through its identity branch makes XLA's copy-insertion pass
+            # materialise full-pool copies per iteration on TPU (measured:
+            # pool_fill_16x2 10 s vs 7.5 ms on CPU at a 50k corpus).  A
+            # while_loop body updating the donated carry via
+            # dynamic_update_slice aliases in place, and padded iterations
+            # simply never run.
             for sk, part in zip(skey, parts):
                 which = sk[0]
                 if which in ("ph", "phs"):
@@ -194,62 +202,50 @@ def _fill_fn(dev: DeviceIndex, skey: tuple, cap_p: int, cap_t: int):
                     S = 1 << blk_bits
 
                     def body_ph(i, tfp, tslots=tslots, outs=outs,
-                                k_real=k_real, sk=sk, pool=pool):
-                        def do(tfp):
-                            planes = [pool[tslots[i, j]] for j in range(T)]
-                            if sk[0] == "ph":
-                                plan = [(d, list(ix)) for d, ix in sk[2]]
-                                freqs = phrase_counts_dense_planes(
-                                    planes, list(sk[3]), plan, N, S)
-                            else:
-                                _, _, anchor_i, w, mults = sk
-                                freqs = span_counts_dense_planes(
-                                    planes, anchor_i, w, N, S, mults=mults)
-                            return jax.lax.dynamic_update_slice(
-                                tfp, freqs[None, :], (outs[i], 0))
+                                sk=sk, pool=pool):
+                        planes = [pool[tslots[i, j]] for j in range(T)]
+                        if sk[0] == "ph":
+                            plan = [(d, list(ix)) for d, ix in sk[2]]
+                            freqs = phrase_counts_dense_planes(
+                                planes, list(sk[3]), plan, N, S)
+                        else:
+                            _, _, anchor_i, w, mults = sk
+                            freqs = span_counts_dense_planes(
+                                planes, anchor_i, w, N, S, mults=mults)
+                        return jax.lax.dynamic_update_slice(
+                            tfp, freqs[None, :], (outs[i], 0))
 
-                        return jax.lax.cond(i < k_real, do, lambda x: x,
-                                            tfp)
-
-                    tfpool = jax.lax.fori_loop(0, _PH_CHUNK, body_ph,
-                                               tfpool)
+                    tfpool = jax.lax.fori_loop(0, k_real, body_ph, tfpool)
                     continue
                 bucket = sk[1]
                 offs, ns, slots, k_real = part
                 if which == "p":
                     def body_p(i, pl, offs=offs, ns=ns, slots=slots,
-                               bucket=bucket, k_real=k_real):
-                        def do(pl):
-                            h, p = K.take_term_planes(
-                                hdrs, pays, offs[i], ns[i], bucket=bucket,
-                                blk_bits=blk_bits)
-                            row = jnp.zeros(NS, jnp.uint32).at[h].set(
-                                p, mode="drop", unique_indices=True,
-                                indices_are_sorted=True)
-                            return jax.lax.dynamic_update_slice(
-                                pl, row[None, :], (slots[i], 0))
+                               bucket=bucket):
+                        h, p = K.take_term_planes(
+                            hdrs, pays, offs[i], ns[i], bucket=bucket,
+                            blk_bits=blk_bits)
+                        row = jnp.zeros(NS, jnp.uint32).at[h].set(
+                            p, mode="drop", unique_indices=True,
+                            indices_are_sorted=True)
+                        return jax.lax.dynamic_update_slice(
+                            pl, row[None, :], (slots[i], 0))
 
-                        return jax.lax.cond(i < k_real, do, lambda x: x, pl)
-
-                    pool = jax.lax.fori_loop(0, _FILL_CHUNK, body_p, pool)
+                    pool = jax.lax.fori_loop(0, k_real, body_p, pool)
                 else:
                     def body_t(i, tp, offs=offs, ns=ns, slots=slots,
-                               bucket=bucket, k_real=k_real):
-                        def do(tp):
-                            h, p = K.take_term_planes(
-                                hdrs, pays, offs[i], ns[i], bucket=bucket,
-                                blk_bits=blk_bits)
-                            keys = (h >> jnp.int32(blk_bits)).astype(
-                                jnp.int32)
-                            row = jnp.zeros(N, jnp.float32).at[keys].add(
-                                _popcount_f32(p), mode="drop")
-                            return jax.lax.dynamic_update_slice(
-                                tp, row[None, :], (slots[i], 0))
+                               bucket=bucket):
+                        h, p = K.take_term_planes(
+                            hdrs, pays, offs[i], ns[i], bucket=bucket,
+                            blk_bits=blk_bits)
+                        keys = (h >> jnp.int32(blk_bits)).astype(
+                            jnp.int32)
+                        row = jnp.zeros(N, jnp.float32).at[keys].add(
+                            _popcount_f32(p), mode="drop")
+                        return jax.lax.dynamic_update_slice(
+                            tp, row[None, :], (slots[i], 0))
 
-                        return jax.lax.cond(i < k_real, do, lambda x: x, tp)
-
-                    tfpool = jax.lax.fori_loop(0, _FILL_CHUNK, body_t,
-                                               tfpool)
+                    tfpool = jax.lax.fori_loop(0, k_real, body_t, tfpool)
             return pool, tfpool
 
         fn = jax.jit(f, donate_argnums=(0, 1))
