@@ -252,6 +252,19 @@ def main():
     docs, _build_s = get_index(args.docs, n_docs, args.save, args.load)
     assert len(docs) == n_docs
 
+    # the tunnel's dispatch+transfer round trip: the hard floor under any
+    # BLOCKING single-query latency (a warm topk() is 1 program + 1
+    # packed transfer; it cannot beat this number through the tunnel)
+    import jax.numpy as jnp
+    np.asarray(jnp.arange(8))  # force backend init + first tiny compile
+    floor = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        np.asarray(jnp.arange(8))
+        floor.append(1000.0 * (time.perf_counter() - t0))
+    tunnel_floor_ms = float(np.median(floor))
+    log(f"tunnel noop dispatch+transfer round trip: {tunnel_floor_ms:.1f} ms")
+
     mixed = list(TERM_QUERIES) + list(PHRASE_QUERIES)
 
     # warmup (compile) — TWO passes, each forcing a transfer per query:
@@ -353,15 +366,22 @@ def main():
         for w in list(range(reps)) + [1000 + r for r in range(reps)]:
             batch, slops = serving_mixed(w)
             docs.score_batch(batch, top_k=10, slop=slops)
+    from searcharray_tpu.search import batch as _batch_mod
+
     t0 = time.perf_counter()
     n_q = 0
+    progs = []
     for r in range(reps):
         batch, slops = serving_mixed(r)
+        _batch_mod.DISPATCHES[0] = 0
         scores, idx = docs.score_batch(batch, top_k=10, slop=slops)
+        progs.append(_batch_mod.DISPATCHES[0])
         n_q += len(batch)
     serving_qps = n_q / (time.perf_counter() - t0)
+    programs_per_batch = float(np.mean(progs))
     log(f"serving 144-query mixed batches (incl slop): {n_q} queries -> "
-        f"{serving_qps:.2f} qps")
+        f"{serving_qps:.2f} qps  (programs/batch mean {programs_per_batch:.1f}"
+        f" min {min(progs)} max {max(progs)})")
     assert scores.shape == (144, 10)
     results["serving"] = serving_qps
 
@@ -442,6 +462,8 @@ def main():
                 # ~10x it (BASELINE.md calibration) — the honest multiple
                 "vs_baseline_calibrated": round(qps / (baseline * 10), 2),
                 "single_query_ms": round(1000.0 / seq_qps, 2),
+                "tunnel_floor_ms": round(tunnel_floor_ms, 2),
+                "programs_per_batch": round(programs_per_batch, 1),
                 "latency_ms": {
                     "score_p50": round(score_p50, 2),
                     "score_p95": round(score_p95, 2),
