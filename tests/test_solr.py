@@ -248,6 +248,13 @@ def test_phase_candidate_rows_parity(monkeypatch):
     sub2, _ = edismax(fr, ps2=1, **kwargs)
     np.testing.assert_allclose(sub2, full2, rtol=1e-6, atol=1e-6)
 
+    # packed-rows middle zone: match count above the optimistic one-shot
+    # cap forces the count-sized second fetch — parity must hold there too
+    monkeypatch.setattr(solr_mod, "PHASE_ROWS_CAP", 4)
+    mid, mid_exp = edismax(fr, **kwargs)
+    assert mid_exp == full_exp
+    np.testing.assert_allclose(mid, full, rtol=1e-6, atol=1e-6)
+
 
 def test_edismax_top_k_matches_dense(frame):
     """top_k= returns the device-ranked head of the dense result."""
