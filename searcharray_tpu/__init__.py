@@ -34,7 +34,8 @@ except Exception:  # pragma: no cover - cache is best-effort
 
 from searcharray_tpu.pandas_ext.array import SearchArray, Terms, TermsDtype  # noqa: E402,F401
 from searcharray_tpu.utils.topk import SetOfResults  # noqa: E402,F401
-from searcharray_tpu.solr import edismax  # noqa: E402,F401
+from searcharray_tpu.solr import edismax, edismax_batch  # noqa: E402,F401
 
 __version__ = "0.1.0"
-__all__ = ["SearchArray", "Terms", "TermsDtype", "SetOfResults", "edismax"]
+__all__ = ["SearchArray", "Terms", "TermsDtype", "SetOfResults", "edismax",
+           "edismax_batch"]

@@ -504,3 +504,338 @@ def edismax(frame: pd.DataFrame, q: str, qf: List[str],
     wire = np.asarray(out)
     return (wire[:k].view(np.float32).copy(),
             wire[k:].astype(np.int64)), explain
+
+
+def _compose_batch_jit(n: int, F: int, ckey: tuple, tie: float, Cp: int):
+    """Jitted batched dismax compose for one query class.
+
+    ``ckey`` is ("tc", T, msm) or ("fc", (T per field), (msm per field)).
+    Takes (per-field [G_f, N] term-score stacks, starts int32[Cp, F],
+    boosts f32[F]) and returns f32[Cp, N] — each row the composed main
+    score of one query, sliced out of the shared stacks (a query's terms
+    are contiguous per field).  ``lax.map`` over the class keeps temps at
+    one query's [F, T, N] instead of materializing [Cp, F, T, N]."""
+    key = ("cb", n, F, ckey, tie, Cp)
+    fn = _compose_cache.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        tc = ckey[0] == "tc"
+
+        def f(stacks, starts, boosts):
+            def one(st_row):
+                if tc:
+                    _, T, msm = ckey
+                    fs = jnp.stack([
+                        jax.lax.dynamic_slice(stacks[fi], (st_row[fi], 0),
+                                              (T, n)) * boosts[fi]
+                        for fi in range(F)])          # [F, T, N]
+                    mx = fs.max(axis=0)
+                    sm = fs.sum(axis=0)
+                    ts = mx + (sm - mx) * np.float32(tie)
+                    matches = (ts > 0).sum(axis=0) >= msm
+                    return jnp.where(matches, ts.sum(axis=0),
+                                     np.float32(0.0))
+                _, Ts, msms = ckey
+                sums = []
+                for fi in range(F):
+                    ts = jax.lax.dynamic_slice(stacks[fi], (st_row[fi], 0),
+                                               (Ts[fi], n))
+                    m = (ts > 0).sum(axis=0) >= msms[fi]
+                    sums.append(jnp.where(m, ts.sum(axis=0),
+                                          np.float32(0.0)) * boosts[fi])
+                stk = jnp.stack(sums)
+                sm = stk.sum(axis=0)
+                mx = stk.max(axis=0)
+                return mx + (sm - mx) * np.float32(tie)
+
+            return jax.lax.map(one, starts)
+
+        fn = jax.jit(f)
+        _compose_cache[key] = fn
+    return fn
+
+
+def _finish_batch_jit(n: int, k: Optional[int], c_shapes: tuple,
+                      g_shapes: tuple, has_zero: bool):
+    """Jitted batched edismax finisher: concat the class compose outputs,
+    reorder to query order, fold every phase gram's contribution in one
+    MXU matmul (W[Q, Gtot] @ grams[Gtot, N], per-gram boosts and the
+    double-final-bigram quirk folded into W), mask to main-query matches,
+    and (with k) pack the per-row exact top-k into one int32[Q, 2k] wire
+    — the batch's single host transfer."""
+    key = ("fb", n, k, c_shapes, g_shapes, has_zero)
+    fn = _finish_cache.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        from searcharray_tpu.search.batch import _pack_topk
+
+        def f(class_outs, order, gram_stacks, W):
+            if not class_outs:
+                qf = jnp.zeros((0, n), jnp.float32)
+            else:
+                qf = (class_outs[0] if len(class_outs) == 1
+                      else jnp.concatenate(class_outs, axis=0))
+            if has_zero:
+                qf = jnp.concatenate(
+                    [qf, jnp.zeros((1, n), jnp.float32)], axis=0)
+            qf = jnp.take(qf, order, axis=0)            # [Q, N]
+            if gram_stacks:
+                grams = (gram_stacks[0] if len(gram_stacks) == 1
+                         else jnp.concatenate(gram_stacks, axis=0))
+                extras = W @ grams                      # [Q, N] on the MXU
+                qf = qf + jnp.where(qf > 0, extras, np.float32(0.0))
+            if k is None:
+                return qf
+            return _pack_topk(qf, k)
+
+        fn = jax.jit(f)
+        _finish_cache[key] = fn
+    return fn
+
+
+# lax.map trip-count ladder for compose classes: pad the per-class query
+# count so a serving tail's varying class sizes reuse a handful of
+# programs instead of minting one per count
+_CLASS_LADDER = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def _class_pad(c: int) -> int:
+    for p in _CLASS_LADDER:
+        if c <= p:
+            return p
+    return c
+
+
+def edismax_batch(frame: pd.DataFrame, queries: List[str], qf: List[str],
+                  mm: Optional[Union[str, int]] = None,
+                  pf: Optional[List[str]] = None,
+                  pf2: Optional[List[str]] = None,
+                  pf3: Optional[List[str]] = None,
+                  ps2: int = 0, ps3: int = 0, ps: int = 0,
+                  tie: float = 0.0, q_op: str = "OR",
+                  similarity: Union[Similarity,
+                                    Dict[str, Similarity]] = default_bm25,
+                  top_k: Optional[int] = None,
+                  ) -> Tuple[object, List[str]]:
+    """Run one edismax configuration over a BATCH of query strings.
+
+    Numerically identical to calling :func:`edismax` per query (the
+    differential is pinned in tests/test_solr.py), but the whole batch
+    runs as a handful of device programs with ONE blocking transfer:
+
+    - main query: per field, every query's terms score in one
+      ``score_batch_device`` call (the grouped batch driver);
+    - dismax/tie/mm composition: queries grouped by (term count, mm)
+      class, one ``lax.map`` program per class over the shared stacks;
+    - pf/pf2/pf3 grams: per field, all queries' grams in one batched
+      call (mask-composition — per-row phrase scores are independent, so
+      masking by the query's own matches equals the scalar path's
+      candidate-rows pruning);
+    - finish: one program folds every gram into its query via an MXU
+      matmul, masks, and packs the per-query top-k wire.
+
+    A blocking scalar ``edismax`` costs 2 tunnel round trips plus ~8
+    program enqueues (~300 ms warm at 8.8M docs); this path amortizes
+    those across the batch.  Falls back to the scalar loop for custom
+    (non-fused) similarities, sharded or sliced fields.
+
+    Returns ``((scores f32[Q, k], indices i64[Q, k]), explains)`` with
+    ``top_k``, else ``(scores f32[Q, N], explains)``.  Queries that
+    tokenize to no terms score 0 everywhere.
+    """
+    def listify(x):
+        return x if isinstance(x, list) else [x]
+
+    query_fields = parse_field_boosts(listify(qf))
+    phrase_fields = parse_field_boosts(listify(pf)) if pf else {}
+    if mm is None:
+        mm = "1"
+    if isinstance(mm, int):
+        mm = f"{mm}"
+    if q_op == "AND":
+        mm = "100%"
+    if not isinstance(similarity, dict):
+        similarity = {field: similarity for field in query_fields}
+    for field in query_fields:
+        if field not in similarity:
+            similarity[field] = default_bm25
+    bigram_fields = parse_field_boosts(pf2) if pf2 else {}
+    trigram_fields = parse_field_boosts(pf3) if pf3 else {}
+    phases = [(phrase_fields, 0, ps), (bigram_fields, 2, ps2),
+              (trigram_fields, 3, ps3)]
+
+    all_fields = set(query_fields)
+    for fields, _, _ in phases:
+        all_fields |= set(fields)
+
+    def _fallback():
+        outs = [edismax(frame, q, qf=qf, mm=mm, pf=pf, pf2=pf2, pf3=pf3,
+                        ps2=ps2, ps3=ps3, ps=ps, tie=tie, q_op=q_op,
+                        similarity=similarity, top_k=top_k)
+                for q in queries]
+        explains = [e for _, e in outs]
+        if top_k is None:
+            return np.stack([s for s, _ in outs]), explains
+        return ((np.stack([s for (s, _i), _ in outs]),
+                 np.stack([i for (_s, i), _ in outs])), explains)
+
+    for field in all_fields:
+        arr = get_field(frame, field)
+        sim = similarity.get(field, default_bm25)
+        if (getattr(sim, "_fused", None) is None
+                or arr._state.sharded is not None or arr.subset
+                or len(arr.rows) != arr.corpus_size):
+            return _fallback()
+    if not queries:
+        n0 = len(frame)
+        if top_k is None:
+            return np.zeros((0, n0), np.float32), []
+        return ((np.zeros((0, top_k), np.float32),
+                 np.zeros((0, top_k), np.int64)), [])
+
+    import jax.numpy as jnp
+
+    Q = len(queries)
+    field_order = list(query_fields)
+    parsed = [parse_query_terms(frame, q, field_order) for q in queries]
+
+    # ---- stage 1: every query's single terms, one batched device call
+    # per field (grouped programs; stacks stay in HBM) -----------------
+    terms_by_field: Dict[str, list] = {f: [] for f in field_order}
+    starts = np.zeros((Q, len(field_order)), np.int32)
+    for qi, (_n, st, _tc) in enumerate(parsed):
+        for fi, field in enumerate(field_order):
+            starts[qi, fi] = len(terms_by_field[field])
+            terms_by_field[field] += [[t] for t in st[field]]
+    stacks = []
+    for field in field_order:
+        arr = get_field(frame, field)
+        terms = terms_by_field[field]
+        if terms:
+            stacks.append(arr.score_batch_device(
+                terms, similarity=similarity[field]))
+        else:
+            stacks.append(jnp.zeros((1, len(arr)), jnp.float32))
+
+    # ---- stage 2: group queries by compose class, one program each ---
+    classes: Dict[tuple, list] = {}
+    zero_qis = []
+    msm_of = np.zeros(Q, np.int32)
+    for qi, (num_terms, st, tc) in enumerate(parsed):
+        if num_terms == 0 or all(len(st[f]) == 0 for f in field_order):
+            zero_qis.append(qi)
+            continue
+        if tc:
+            msm = parse_min_should_match(num_terms, spec=mm)
+            msm_of[qi] = msm
+            ckey = ("tc", num_terms, msm)
+        else:
+            Ts = tuple(len(st[f]) for f in field_order)
+            msms = tuple(min(parse_min_should_match(t, spec=mm), t)
+                         for t in Ts)
+            ckey = ("fc", Ts, msms)
+        classes.setdefault(ckey, []).append(qi)
+
+    n = len(frame)
+    F = len(field_order)
+    boosts_dev = jnp.asarray(
+        [_boost_val(query_fields[f]) for f in field_order], jnp.float32)
+    class_outs = []
+    order = np.zeros(Q, np.int32)
+    row = 0
+    for ckey, qis in classes.items():
+        Cp = _class_pad(len(qis))
+        st_rows = np.zeros((Cp, F), np.int32)
+        st_rows[: len(qis)] = starts[qis]
+        # pad rows re-run query 0 of the class; discarded by `order`
+        st_rows[len(qis):] = st_rows[0]
+        out = _compose_batch_jit(n, F, ckey, float(tie), Cp)(
+            tuple(stacks), jnp.asarray(st_rows), boosts_dev)
+        for j, qi in enumerate(qis):
+            order[qi] = row + j
+        row += Cp
+        class_outs.append(out)
+    has_zero = bool(zero_qis)
+    for qi in zero_qis:
+        order[qi] = row  # the appended all-zeros row
+
+    # ---- stage 3: every query's phase grams, one batched device call
+    # per field (mask composition; per-row phrase scores are independent
+    # of the row set, so masking == the scalar rows= pruning) ----------
+    gram_calls: Dict[str, dict] = {}
+    explains = []
+    for qi, (num_terms, st, tc) in enumerate(parsed):
+        # main-query explain, identical to the scalar paths
+        if tc:
+            exp = []
+            for term_posn in range(num_terms):
+                exp.append("(" + " | ".join(
+                    f"{field}:{st[field][term_posn]}"
+                    f"^{_boost_exp(boost)}"
+                    for field, boost in query_fields.items()) + ")")
+            explain = ("(" + " ".join(exp) + f")~{int(msm_of[qi])}")
+        else:
+            exp = []
+            for field, boost in query_fields.items():
+                msm = min(parse_min_should_match(len(st[field]), spec=mm),
+                          len(st[field]))
+                e = " ".join(f"{field}:{t}" for t in st[field])
+                exp.append(f"(({e})~{msm})^{_boost_exp(boost)}")
+            explain = " | ".join(exp)
+        for fields, ngram, slop in phases:
+            min_terms = ngram if ngram else 2
+            for field, boost in fields.items():
+                terms = st[field]
+                if len(terms) < min_terms:
+                    continue
+                grams = ([terms] if ngram == 0 else
+                         [terms[i: i + ngram]
+                          for i in range(len(terms) - ngram + 1)])
+                ent = gram_calls.setdefault(
+                    field, {"grams": [], "slops": [], "w": [], "qmap": []})
+                for gi, gram in enumerate(grams):
+                    w = _boost_val(boost)
+                    if ngram == 2 and gi == len(grams) - 1:
+                        w *= 2.0  # reference double-appends the final
+                        # bigram (solr.py:221)
+                    ent["grams"].append(gram)
+                    ent["slops"].append(slop)
+                    ent["w"].append(w)
+                    ent["qmap"].append(qi)
+                    slop_exp = f"~{slop}" if slop else ""
+                    explain += (f" ({field}:\"{' '.join(gram)}\""
+                                f"{slop_exp})^{_boost_exp(boost)}")
+        explains.append(explain)
+
+    gram_stacks = []
+    W_cols = []
+    for field, ent in gram_calls.items():
+        arr = get_field(frame, field)
+        gram_stacks.append(arr.score_batch_device(
+            ent["grams"], similarity=similarity.get(field, default_bm25),
+            slop=ent["slops"]))
+        W_cols.append((ent["qmap"], ent["w"]))
+    Gtot = sum(gs.shape[0] for gs in gram_stacks)
+    W = np.zeros((Q, Gtot), np.float32)
+    g0 = 0
+    for (qmap, ws), gs in zip(W_cols, gram_stacks):
+        for j, (qi, w) in enumerate(zip(qmap, ws)):
+            W[qi, g0 + j] = w
+        g0 += int(gs.shape[0])
+
+    # ---- stage 4: one finishing program, one host transfer -----------
+    k = None if top_k is None else min(top_k, n)
+    c_shapes = tuple(int(o.shape[0]) for o in class_outs)
+    g_shapes = tuple(int(gs.shape[0]) for gs in gram_stacks)
+    out = _finish_batch_jit(n, k, c_shapes, g_shapes, has_zero)(
+        tuple(class_outs), jnp.asarray(order), tuple(gram_stacks),
+        jnp.asarray(W))
+    wire = np.asarray(out)
+    if top_k is None:
+        return wire.astype(np.float32, copy=False), explains
+    return ((np.ascontiguousarray(wire[:, :k]).view(np.float32),
+             wire[:, k:].astype(np.int64)), explains)

@@ -267,3 +267,94 @@ def test_edismax_top_k_matches_dense(frame):
     np.testing.assert_allclose(sc, dense[order], rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(dense[ix], dense[order], rtol=1e-6,
                                atol=1e-6)
+
+
+def _zipf_frame(seed=13, n=2500):
+    rng = np.random.default_rng(seed)
+    vocab = ["foo", "bar", "baz", "qux"] + [f"w{i}" for i in range(150)]
+    probs = 1.0 / np.arange(1, len(vocab) + 1)
+    probs /= probs.sum()
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(4, 30), p=probs))
+            for _ in range(n)]
+    docs[7] = "foo bar baz deep phrase " + docs[7]
+    return pd.DataFrame({
+        "title": SearchArray.index(docs),
+        "body": SearchArray.index(list(reversed(docs))),
+    })
+
+
+def test_edismax_batch_differential():
+    """edismax_batch == per-query edismax: dense scores, top-k wires, and
+    explain strings, across term counts, mm classes, phases, slop phases,
+    boosts, and no-match / empty queries."""
+    from searcharray_tpu.solr import edismax_batch
+
+    fr = _zipf_frame()
+    queries = ["foo bar", "foo bar baz", "qux", "w5 w9 foo",
+               "zzz_nomatch qux", "foo", "bar baz qux w3", ""]
+    kwargs = dict(qf=["title^2", "body"], mm="2<75%", tie=0.1,
+                  pf=["title", "body"], pf2=["body"], pf3=["title"],
+                  ps2=1)
+
+    dense_b, exp_b = edismax_batch(fr, queries, **kwargs)
+    assert dense_b.shape == (len(queries), len(fr))
+    (sc_b, ix_b), exp_k = edismax_batch(fr, queries, top_k=5, **kwargs)
+    assert exp_k == exp_b
+    for qi, q in enumerate(queries):
+        if not q:
+            assert np.all(dense_b[qi] == 0)
+            continue
+        dense, exp = edismax(fr, q, **kwargs)
+        assert exp_b[qi] == exp, q
+        np.testing.assert_allclose(dense_b[qi], dense, rtol=1e-6,
+                                   atol=1e-6)
+        (sc, ix), _ = edismax(fr, q, top_k=5, **kwargs)
+        np.testing.assert_allclose(sc_b[qi], sc, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(ix_b[qi], ix)
+
+
+def test_edismax_batch_field_centric():
+    """FC queries (tokenizers disagree) group into fc compose classes."""
+    from searcharray_tpu.solr import edismax_batch
+
+    fr = pd.DataFrame({
+        "title": SearchArray.index(TITLE_DOCS),
+        "body": SearchArray.index(
+            ["foo bar", "data2", "data3 bar", "bunny funny wunny"],
+            tokenizer=one_token_lowercase,
+        ),
+    })
+    queries = ["foo bar", "bar", "bunny funny"]
+    dense_b, exp_b = edismax_batch(fr, queries, qf=["title", "body"],
+                                   tie=0.1, pf=["title"])
+    for qi, q in enumerate(queries):
+        dense, exp = edismax(fr, q, qf=["title", "body"], tie=0.1,
+                             pf=["title"])
+        assert exp_b[qi] == exp, q
+        np.testing.assert_allclose(dense_b[qi], dense, rtol=1e-6,
+                                   atol=1e-6)
+
+
+def test_edismax_batch_fallback_paths():
+    """Custom (non-fused) similarity falls back to the scalar loop and
+    still returns batch-shaped results."""
+    from searcharray_tpu.solr import edismax_batch
+
+    fr = _zipf_frame(seed=5, n=300)
+    queries = ["foo bar", "qux"]
+    dense_b, exp_b = edismax_batch(fr, queries, qf=["title", "body"],
+                                   similarity=binary_similarity)
+    assert dense_b.shape == (2, len(fr))
+    for qi, q in enumerate(queries):
+        dense, exp = edismax(fr, q, qf=["title", "body"],
+                             similarity=binary_similarity)
+        assert exp_b[qi] == exp
+        np.testing.assert_allclose(dense_b[qi], dense, rtol=1e-6,
+                                   atol=1e-6)
+    (sc, ix), _ = edismax_batch(fr, queries, qf=["title", "body"],
+                                similarity=binary_similarity, top_k=3)
+    assert sc.shape == (2, 3) and ix.shape == (2, 3)
+
+    # empty batch
+    (sc0, ix0), exps = edismax_batch(fr, [], qf=["title"], top_k=4)
+    assert sc0.shape == (0, 4) and exps == []
